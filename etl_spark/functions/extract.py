@@ -1,0 +1,68 @@
+"""HTML -> text extraction: the vectorized kernel of the engine.
+
+This occupies the slot of the reference's domain kernels (CRS
+transforms, trajectory assembly, Douglas-Peucker — SURVEY.md §2.9
+G2-G8): per-row math expressed as an Arrow-batched vector kernel, never
+per-row Python. The invariant (BASELINE.json input_hint) is
+**byte-identical extracted text per url** across replays and
+parallelism levels, so the kernel is a frozen pure function of the
+html bytes alone: fixed regexes, fixed entity table, no locale/time
+dependence. Golden tests pin exact outputs (tests/test_extract.py),
+the way the reference pins its kernel behavior
+(/root/reference/tests/trajectory_construction_test.py:24-37).
+
+Pipeline: decode utf-8 -> drop <script>/<style> subtrees -> strip tags
+-> unescape the 5 core entities -> collapse whitespace -> strip.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Frozen kernel constants — changing any of these breaks the
+# byte-identity invariant; bump engine major version if ever touched.
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_TAG = re.compile(r"(?s)<[^>]+>")
+_RE_WS = re.compile(r"\s+")
+# Order matters: &amp; last, so "&amp;lt;" -> "&lt;" (literal), not "<".
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """The kernel, as a pandas->pandas vector function (unit-testable
+    without Spark; the pandas_udf below is a thin Arrow wrapper)."""
+    txt = html.map(
+        lambda b: b.decode("utf-8", "replace") if b is not None else None,
+        na_action="ignore",
+    )
+    txt = txt.str.replace(_RE_SCRIPT, " ", regex=True)
+    txt = txt.str.replace(_RE_COMMENT, " ", regex=True)
+    txt = txt.str.replace(_RE_TAG, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        txt = txt.str.replace(ent, ch, regex=False)
+    txt = txt.str.replace(_RE_WS, " ", regex=True).str.strip()
+    return txt
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Arrow-batched html->text. Null html (delete events) -> null."""
+    return extract_text_series(html)
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
+    """Attach extracted text. Call AFTER dedup (winners only) so loser
+    rows are never decoded — the extract stage is the CPU hot spot at
+    10^10 events and must see each surviving key once."""
+    return df.withColumn(out_col, extract_text(F.col(html_col)))

@@ -1,0 +1,3 @@
+from etl_spark.lake.table import LakeTable, Snapshot
+
+__all__ = ["LakeTable", "Snapshot"]

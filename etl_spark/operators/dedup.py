@@ -1,0 +1,121 @@
+"""Last-writer-wins dedup — the CDC successor of the reference's
+per-group "most recent / most frequent" voting
+(/root/reference/etl/trajectory/builder.py:378-390) — plus the
+skew-aware two-phase variant (successor of the reference's kd-tree
+data-balanced partitioning, /root/reference/etl/partition_builder/
+02_kd_tree_construction.sql:1-68: both derive a balancing plan from an
+observed key histogram).
+
+Scale notes
+-----------
+Plain LWW is one shuffle on the key (window ``row_number``). At 10^10
+events a hot key (one URL re-crawled millions of times in an epoch)
+makes one reducer the straggler. The two-phase form salts the key with
+``pmod(xxhash64(seq), S)``, picks a winner per (key, salt) with a
+map-side-friendly ``max(struct(...))`` aggregation, then re-aggregates
+winners across salts — the classic partial/final split, so no reducer
+ever sees more than ~1/S of a hot key's rows. Salting is driven by an
+epoch histogram so cold keys skip the extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_struct(df: DataFrame, order_cols: list[str]) -> F.Column:
+    """max() over this struct == the last writer; payload rides along."""
+    return F.struct(*[F.col(c) for c in order_cols], F.struct(*df.columns).alias("_row"))
+
+
+def lww_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep the last writer per key: the single-shuffle baseline.
+
+    ``max(struct(order..., row))`` instead of a window ``row_number``:
+    an aggregate gets a map-side partial (partial_max per input
+    partition) for free, so even the un-salted path is skew-resistant
+    up to the final single-row-per-key reduce. Deterministic total
+    order required: ``order_cols`` must be a tiebreak-complete list
+    (e.g. [warc_ts, seq]).
+    """
+    cols = df.columns
+    winners = df.groupBy(*key_cols).agg(F.max(_order_struct(df, order_cols)).alias("_w"))
+    return winners.select([F.col(f"_w._row.{c}").alias(c) for c in cols])
+
+
+def lww_dedup_window(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Window-based LWW (row_number == 1) — the textbook form; kept for
+    oracle parity tests. Prefer :func:`lww_dedup` on big data (aggregate
+    gets partial combine; window does not)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def salted_lww_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase LWW for hot keys.
+
+    Phase 1 groups by (key, salt) — hot keys spread over ``n_salts``
+    reducers; phase 2 re-reduces the per-salt winners (n_salts rows per
+    key, trivial). ``salt_source``: a column making the salt
+    deterministic (default: first order col), so replays produce
+    identical partitioning.
+    """
+    src = salt_source or order_cols[-1]
+    cols = df.columns
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
+    phase1 = (
+        salted.groupBy(*key_cols, "_salt")
+        .agg(F.max(_order_struct(df, order_cols)).alias("_w"))
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(F.max("_w").alias("_w"))
+    return phase2.select([F.col(f"_w._row.{c}").alias(c) for c in cols])
+
+
+def hot_key_histogram(
+    df: DataFrame, key_cols: list[str], threshold_rows: int, top_n: int = 64
+) -> list[tuple]:
+    """Per-epoch key histogram -> the hot-key list that drives salting.
+
+    Driver-side result is bounded (top_n); the groupBy count is a
+    partial-aggregated shuffle of (key, long) pairs — cheap relative to
+    the payload. Successor of the reference's density-histogram
+    partition builder (SURVEY.md G14).
+    """
+    rows = (
+        df.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") >= threshold_rows)
+        .orderBy(F.col("count").desc())
+        .limit(top_n)
+        .collect()
+    )
+    return [tuple(r[c] for c in key_cols) for r in rows]
+
+
+def adaptive_lww_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    hot_threshold: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Histogram-driven dedup: salt only when a hot key exists.
+
+    The histogram costs one count-shuffle; at 10^10 events that is the
+    right trade — an unsalted hot key costs hours, the histogram costs
+    seconds. (The per-epoch decision mirrors the reference rebuilding
+    its kd-tree from observed density rather than assuming uniformity.)
+    """
+    hot = hot_key_histogram(df, key_cols, hot_threshold, top_n=1)
+    if hot:
+        return salted_lww_dedup(df, key_cols, order_cols, n_salts=n_salts)
+    return lww_dedup(df, key_cols, order_cols)

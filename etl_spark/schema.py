@@ -1,0 +1,112 @@
+"""Centralized schema constants — successor of the reference's
+column-name constants module (/root/reference/etl/constants.py:13-74)
+and its hand-pinned dtype tables (clean_data.py:86-114,
+builder.py:542-591). No schema inference anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# The lake table of Common-Crawl-style pages (BASELINE.json input_hint).
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Schema-evolution scenario: `lang` appears mid-stream (FIXTURES.md §2).
+PAGES_SCHEMA_V0 = T.StructType([f for f in PAGES_SCHEMA.fields if f.name != "lang"])
+
+# ---------------------------------------------------------------------------
+# The WAL/binlog-shaped change stream (FIXTURES.md §2).
+# ---------------------------------------------------------------------------
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),  # 'I' | 'U' | 'D'
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),  # null for 'D'
+        T.StructField("lang", T.StringType(), True),  # absent before E_evolve
+    ]
+)
+
+CHANGES_SCHEMA_V0 = T.StructType([f for f in CHANGES_SCHEMA.fields if f.name != "lang"])
+
+# ---------------------------------------------------------------------------
+# Lineage — successor of the reference audit log
+# (/root/reference/etl/init/sql/40_audit_log.sql:1-12,
+#  /root/reference/etl/audit/logger.py:81-103): one row per
+# (epoch, stage); throughput metrics land here so every run is
+# self-documenting.
+# ---------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_out", T.LongType(), True),
+        T.StructField("seconds", T.DoubleType(), True),
+        T.StructField("engine_version", T.StringType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver-provided TPC-H-ish test tables (TESTDATA.md) — pinned here the
+# way the reference pins its 24 CSV dtypes, so readers never infer.
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

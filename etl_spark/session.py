@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+Successor of the reference's hand-rolled parallelism knobs
+(dask ``NUM_PARTITIONS = 4 * cpu_count()``,
+/root/reference/etl/cleaning/clean_data.py:16 and the per-ship process
+pool /root/reference/etl/trajectory/builder.py:58): instead of
+hand-scheduling, we size ``spark.sql.shuffle.partitions`` to the core
+count and let AQE coalesce / split at runtime.
+
+Design-for-100TB notes
+----------------------
+On a real cluster these settings move to ``spark-submit --conf``; the
+factory takes ``parallelism`` so the bench harness can run the same job
+at N and 4N cores (the sandbox stand-in for N and 4N executors) with
+proportionally scaled shuffle partitions — the north rule's scaling
+criterion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``parallelism`` -> ``local[N]`` master; defaults to
+    ``$SPARK_GRAFT_CPUS`` or all cores. ``shuffle_partitions`` defaults
+    to the parallelism (local mode: ~1 partition per core; a 200-ish
+    default over-parallelizes small local data and under-parallelizes
+    100 TB — at cluster scale this is set to 2-3x total cores).
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = parallelism
+
+    builder = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan — coalesces small shuffle partitions and
+        # splits skewed ones; the engine still salts explicitly where the
+        # skew is known (hot domains), AQE covers the residual.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UTC everywhere: oracle comparability + determinism of the
+        # smart date/time keys (reference pins formats, clean_data.py:118).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow transfer for every pandas UDF on the extract path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""LWW dedup family: baseline, window twin, salted two-phase — all
+three must agree on every scenario (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.operators.dedup import (
+    adaptive_lww_dedup,
+    hot_key_histogram,
+    lww_dedup,
+    lww_dedup_window,
+    salted_lww_dedup,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+TS = lambda m: dt.datetime(2024, 1, 1, 0, m)
+
+
+def _changes(spark):
+    rows = [
+        # u1: plain newer-wins
+        ("u1", TS(1), 1, "old"),
+        ("u1", TS(5), 2, "new"),
+        # u2: out-of-order arrival — older ts later in log must lose
+        ("u2", TS(9), 3, "winner"),
+        ("u2", TS(4), 4, "stale"),
+        # u3: duplicate (url, warc_ts) — higher seq wins
+        ("u3", TS(2), 5, "first"),
+        ("u3", TS(2), 6, "dup-wins"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+EXPECTED = {("u1", "new"), ("u2", "winner"), ("u3", "dup-wins")}
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        lww_dedup,
+        lww_dedup_window,
+        lambda df, k, o: salted_lww_dedup(df, k, o, n_salts=4),
+        lambda df, k, o: adaptive_lww_dedup(df, k, o, hot_threshold=2),
+    ],
+    ids=["agg", "window", "salted", "adaptive"],
+)
+def test_lww_variants_agree(spark, fn):
+    out = fn(_changes(spark), ["url"], ["warc_ts", "seq"])
+    got = {(r.url, r.payload) for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_salted_equals_plain_on_skewed_data(spark):
+    """Hot key (1 url, many events): two-phase must pick the same winner."""
+    rows = [("hot", TS(i % 60), i, f"p{i}") for i in range(500)]
+    rows += [("cold", TS(3), 1000, "c")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    plain = {(r.url, r.payload) for r in lww_dedup(df, ["url"], ["warc_ts", "seq"]).collect()}
+    salted = {
+        (r.url, r.payload)
+        for r in salted_lww_dedup(df, ["url"], ["warc_ts", "seq"], n_salts=8).collect()
+    }
+    assert plain == salted
+    # winner = max ts (minute 59), max seq among those
+    want_seq = max(i for i in range(500) if i % 60 == 59)
+    assert ("hot", f"p{want_seq}") in plain
+
+
+def test_hot_key_histogram(spark):
+    rows = [("hot", TS(1), i, "x") for i in range(50)] + [("cold", TS(1), 99, "y")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    hot = hot_key_histogram(df, ["url"], threshold_rows=10)
+    assert hot == [("hot",)]

@@ -1,0 +1,165 @@
+"""End-to-end CDC golden checks — the recast of the reference's
+golden-count tests (trajectory_construction_test.py:121-139: ferry.csv
+=> exactly 1 moving + 2 stopped) onto table state after replay:
+final row count, per-url final warc_ts, byte-equal text, idempotence,
+resume-from-checkpoint convergence, schema evolution (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.functions.extract import extract_text_series
+from etl_spark.pipeline import Warehouse, ingest_epoch, ingest_range
+from etl_spark.operators.rollup import read_rollup
+from etl_spark.sources.changelog import changes_from_documents, epoch_provider
+from tests.conftest import SF_SMALL
+
+N_EPOCHS = 3
+
+
+def _expected_final_state(spark):
+    """Driver-side sequential fold over the generated log — the trivial
+    oracle (FIXTURES.md: 'final-state golden computable by a trivial
+    sequential fold')."""
+    events = changes_from_documents(spark, SF_SMALL).collect()
+    state: dict[str, tuple] = {}
+    for e in sorted(events, key=lambda e: (e.warc_ts, e.seq)):
+        cur = state.get(e.url)
+        if cur is not None and (e.warc_ts, ) < (cur[0], ):
+            continue
+        if e.op == "D":
+            state[e.url] = (e.warc_ts, None, None)
+        else:
+            state[e.url] = (e.warc_ts, e.html, e.lang)
+    return {
+        url: (ts, bytes(html) if html is not None else None, lang)
+        for url, (ts, html, lang) in state.items()
+        if html is not None
+    }
+
+
+def _ingest_all(spark, root):
+    wh = Warehouse.init(root, n_buckets=8)
+    ingest_range(spark, wh, epoch_provider(spark, SF_SMALL), range(N_EPOCHS))
+    return wh
+
+
+def test_final_state_matches_sequential_fold(spark, tmp_wh):
+    wh = _ingest_all(spark, tmp_wh)
+    expected = _expected_final_state(spark)
+    got = {
+        r.url: (r.warc_ts, bytes(r.html) if r.html is not None else None, r.lang)
+        for r in wh.pages.read(spark).collect()
+    }
+    assert set(got) == set(expected)
+    for url in expected:
+        assert got[url][0] == expected[url][0], url  # final warc_ts
+        assert got[url][1] == expected[url][1], url  # html bytes
+
+
+def test_extracted_text_byte_identical_to_kernel(spark, tmp_wh):
+    """Per-row invariant: stored text == kernel(stored html), byte-equal."""
+    import pandas as pd
+
+    wh = _ingest_all(spark, tmp_wh)
+    rows = wh.pages.read(spark).select("url", "html", "text").collect()
+    assert rows
+    htmls = pd.Series([bytes(r.html) for r in rows])
+    expected = extract_text_series(htmls)
+    for r, want in zip(rows, expected):
+        assert r.text == want, r.url
+
+
+def test_replay_is_idempotent(spark, tmp_wh):
+    """Applying every epoch twice yields the identical snapshot content
+    and no extra versions for the repeats (exactly-once)."""
+    wh = _ingest_all(spark, tmp_wh)
+    v_after = wh.pages.head_version()
+    changes = changes_from_documents(spark, SF_SMALL)
+    stats = ingest_range(spark, wh, changes, range(N_EPOCHS))
+    assert all(s.skipped for s in stats)
+    assert wh.pages.head_version() == v_after
+
+
+def test_resume_from_mid_checkpoint_converges(spark, tmp_wh):
+    """Simulated crash after epoch 0: a fresh process replaying the full
+    range must converge to the same state as an uninterrupted run."""
+    changes = changes_from_documents(spark, SF_SMALL)
+    wh = Warehouse.init(tmp_wh + "/a", n_buckets=8)
+    ingest_epoch(spark, wh, changes, 0)
+    # "restart": reopen from disk, replay everything from epoch 0
+    wh2 = Warehouse.open(tmp_wh + "/a")
+    ingest_range(spark, wh2, changes, range(N_EPOCHS))
+
+    ref = Warehouse.init(tmp_wh + "/b", n_buckets=8)
+    ingest_range(spark, ref, changes, range(N_EPOCHS))
+
+    a = {
+        (r.url, r.warc_ts, r.text, r.lang)
+        for r in wh2.pages.read(spark).collect()
+    }
+    b = {
+        (r.url, r.warc_ts, r.text, r.lang)
+        for r in ref.pages.read(spark).collect()
+    }
+    assert a == b
+
+
+def test_schema_evolution_lang_mid_stream(spark, tmp_wh):
+    """`lang` appears at epoch 2: the table starts without the column
+    (PAGES_SCHEMA_V0), evolves additively, old rows read null unless
+    later updated."""
+    wh = _ingest_all(spark, tmp_wh)
+    schema_names = [f.name for f in wh.pages.snapshot().schema.fields]
+    assert "lang" in schema_names
+    df = wh.pages.read(spark)
+    langs = df.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in langs}
+    # docs with 3 versions got a lang in epoch 2; 1-2 version docs stay null
+    assert None in by_lang
+    assert any(k is not None for k in by_lang)
+
+
+def test_deletes_remove_rows(spark, tmp_wh):
+    wh = _ingest_all(spark, tmp_wh)
+    got_urls = {r.url for r in wh.pages.read(spark).select("url").collect()}
+    # doc_id % 11 == 0 with 3 versions (doc_id % 3 == 2) end in a live D
+    # unless their D event carried a stale ts (doc_id % 7 == 0 -> D loses)
+    for doc_id in range(0, 500, 1):
+        if doc_id % 11 == 0 and doc_id % 3 == 2 and doc_id % 7 != 0:
+            domain = 0 if doc_id % 10 < 6 else doc_id % 10
+            url = f"https://site{domain}.example/doc/{doc_id}"
+            assert url not in got_urls, url
+
+
+def test_rollup_consistent_with_table(spark, tmp_wh):
+    wh = _ingest_all(spark, tmp_wh)
+    roll = {
+        (r.domain, r.day_id): (r.n_pages, r.text_chars)
+        for r in read_rollup(spark, wh.rollup).collect()
+    }
+    from etl_spark.functions.keys import smart_date_id
+    from etl_spark.operators.clean import domain_of
+
+    direct = {
+        (r.domain, r.day_id): (r.n_pages, r.text_chars)
+        for r in wh.pages.read(spark)
+        .select(
+            domain_of(F.col("url")).alias("domain"),
+            smart_date_id(F.col("warc_ts")).alias("day_id"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("domain", "day_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("chars").alias("text_chars"))
+        .collect()
+    }
+    assert roll == direct
+
+
+def test_lineage_rows_written(spark, tmp_wh):
+    wh = _ingest_all(spark, tmp_wh)
+    lin = wh.lineage.read(spark)
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert {"clean", "dedup", "extract", "merge", "rollup"} <= stages
+    assert lin.filter(F.col("epoch") == 0).count() >= 5
