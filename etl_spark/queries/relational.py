@@ -1,0 +1,483 @@
+"""Relational operator battery — SURVEY.md §2.2 (filters/projections),
+§2.3 (joins), §2.4 (aggregations), §2.7 (set ops), §2.8 (scalar fns),
+re-expressed over the TPC-H-ish test tables.
+
+Each query is the Spark twin of a reference operator (file:line cited
+per function) written so Catalyst gets the whole plan: filters push
+into the parquet scan, small dimensions broadcast, aggregates get
+map-side partials. Exact-arithmetic discipline: money goes through
+DECIMAL(18,2) and is cast to DOUBLE once at the end (see
+queries/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.queries import query
+from etl_spark.sources.readers import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# A5/F1: grouped multi-aggregate behind a pushed-down filter — the shape of
+# the reference's heatmap measures (/root/reference/etl/rollup/sql/heatmaps/
+# 01_count.sql:44, 04_max_draught.sql:44) over a cleaned scan
+# (clean_data.py:123-149).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down range filter + hash aggregate with partial combine.
+    At 100 TB this is scan-bound: the filter and the 7-column pruning
+    both reach the parquet reader (verify: PushedFilters/ReadSchema in
+    .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J4: fact ⋈ broadcast dimension chain — the reference's rollup read joins
+# (/root/reference/etl/rollup/sql/heatmaps/01_count.sql:46-48) and ensure-time
+# dim joins (ship_dimension.py:71).
+# ---------------------------------------------------------------------------
+@query(
+    "dim_join_enrich",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast hash joins (25-row nation, 5-row region — the
+    Citus reference-table analog, 50_citus_distribution.sql:2-12): zero
+    shuffles before the final aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: two-level hierarchical re-aggregation — fine key first, parent key
+# second (/root/reference/etl/rollup/sql/heatmaps/01_count.sql:50-52).
+# ---------------------------------------------------------------------------
+@query(
+    "two_level_rollup",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             (EXTRACT(year FROM o_orderdate) * 100 + EXTRACT(month FROM o_orderdate))::INT AS order_month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_total
+      FROM orders GROUP BY o_custkey, order_month
+    )
+    SELECT order_month,
+           COUNT(*) AS n_active_customers,
+           SUM(n_orders) AS n_orders,
+           CAST(MAX(cust_total) AS DOUBLE) AS max_customer_total
+    FROM per_cust GROUP BY order_month
+    """,
+)
+def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(fine) then groupBy(coarse): the second shuffle is over
+    already-reduced data (|customers x months| rows), mirroring the
+    partial->final split the reference hand-writes."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    per_cust = (
+        o.groupBy(F.col("o_custkey"), month.alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("cust_total"),
+        )
+    )
+    return per_cust.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_active_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.max("cust_total").alias("max_customer_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: group-by on expression keys (/root/reference/etl/rollup/sql/heatmaps/
+# 01_count.sql:52 — GROUP BY cell_x/(…), …).
+# ---------------------------------------------------------------------------
+@query(
+    "expr_key_agg",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS qty_bucket,
+           CAST(FLOOR(l_discount * 100 / 2) AS INT) AS disc_bucket,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY qty_bucket, disc_bucket
+    """,
+)
+def expr_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic bucketing as the grouping key — the same trick that
+    replaces the reference's spatial theta-join with an equi-join
+    (SURVEY.md J6): compute the bucket, group on it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_bucket"),
+            F.floor(F.col("l_discount") * 100 / 2).cast("int").alias("disc_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: most-frequent value per group with deterministic tiebreak —
+# the reference's per-trajectory attribute vote
+# (/root/reference/etl/trajectory/builder.py:378-390).
+# ---------------------------------------------------------------------------
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS modal_type, cnt AS modal_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count -> row_number over (cnt desc, value asc) = 1. Unlike
+    pandas value_counts (insertion-order ties, builder.py:378-390) the
+    tiebreak is explicit, so the result is replay-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/U3: multi-column unpivot + distinct (/root/reference/etl/insert/
+# dimensions/date_dimension.py:26-32 — stack().unique() over 3 date cols).
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_distinct_dates",
+    oracle="""
+    SELECT DISTINCT CAST(d AS DATE) AS day
+    FROM (
+      SELECT o_orderdate AS d FROM orders
+      UNION ALL
+      SELECT l_shipdate AS d FROM lineitem
+    )
+    """,
+)
+def unpivot_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(array(cols)) + distinct — feeds a generated date
+    dimension exactly like the reference's ensure-dates path."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
+    return o.unionByName(li).select(F.col("d").cast("date").alias("day")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# J12 (anti): customers that never ordered — the "rows whose probed id is
+# null" branch of the reference's ensure (bulk_inserter.py:99).
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join: the insert-only half of a MERGE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-analog (semi): the reference's spatial semi-join keeps points inside an
+# allow-listed region (clean_data.py:63-66); relational form: suppliers with
+# recent shipments.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi against a pushed-down-filtered probe side."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: small-dim cross join (/root/reference/etl/init/sql/13_dim_direction.sql:
+# 12-22 — 5x5 direction cross product).
+# ---------------------------------------------------------------------------
+@query(
+    "cross_join_dims",
+    oracle="""
+    SELECT r.r_name AS from_region, r2.r_name AS to_region,
+           (r.r_regionkey * 5 + r2.r_regionkey) AS direction_id
+    FROM region r CROSS JOIN region r2
+    """,
+)
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Init-time-only cross product of a tiny dim with a computed
+    surrogate key (the reference's dim_direction build)."""
+    r = load_table(spark, sf_dir, "region")
+    r2 = r.select(
+        F.col("r_regionkey").alias("r2_regionkey"), F.col("r_name").alias("r2_name")
+    )
+    return r.crossJoin(r2).select(
+        F.col("r_name").alias("from_region"),
+        F.col("r2_name").alias("to_region"),
+        (F.col("r_regionkey") * 5 + F.col("r2_regionkey")).alias("direction_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: union + distinct (/root/reference/etl/insert/dimensions/
+# date_dimension.py:48-51 — fixed ∪ easter holidays).
+# ---------------------------------------------------------------------------
+@query(
+    "union_distinct_nations",
+    oracle="""
+    SELECT DISTINCT n_nationkey AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    )
+    """,
+)
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# C1/C2/C4: smart date keys + calendar attributes (/root/reference/etl/
+# helper_functions.py:167-198, date_dimension.py:63-70).
+# ---------------------------------------------------------------------------
+@query(
+    "smart_date_keys",
+    oracle="""
+    SELECT DISTINCT
+      (EXTRACT(year FROM o_orderdate)*10000 + EXTRACT(month FROM o_orderdate)*100
+         + EXTRACT(day FROM o_orderdate))::INT AS date_id,
+      EXTRACT(year FROM o_orderdate)::INT AS year,
+      EXTRACT(month FROM o_orderdate)::INT AS month,
+      EXTRACT(day FROM o_orderdate)::INT AS day_of_month,
+      EXTRACT(quarter FROM o_orderdate)::INT AS quarter,
+      EXTRACT(isodow FROM o_orderdate)::INT AS iso_dow,
+      EXTRACT(doy FROM o_orderdate)::INT AS day_of_year
+    FROM orders
+    """,
+)
+def smart_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated date dimension: smart surrogate key + extracted
+    attributes, all JVM expressions (no stored dim table needed —
+    SURVEY.md §7.3.1)."""
+    from etl_spark.functions.keys import smart_date_id
+
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        smart_date_id(d).alias("date_id"),
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day_of_month"),
+        F.quarter(d).alias("quarter"),
+        # ISO dow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
+        (F.pmod(F.dayofweek(d) + 5, F.lit(7)) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).alias("day_of_year"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# C18/C17: CASE WHEN fallback chain (/root/reference/etl/trajectory/
+# builder.py:309-331 — A+B -> length fallback) + null sentinel (F6).
+# ---------------------------------------------------------------------------
+@query(
+    "case_when_fallback",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size IS NOT NULL AND p_size > 0 THEN p_size
+                WHEN p_retailprice > 1500 THEN 50
+                ELSE -1 END AS effective_size,
+           CASE WHEN p_type LIKE 'PROMO%' THEN 'promo'
+                WHEN p_type LIKE 'STANDARD%' THEN 'standard'
+                ELSE 'other' END AS type_class
+    FROM part
+    """,
+)
+def case_when_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise chains with the reference's -1 null sentinel."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size").isNotNull() & (F.col("p_size") > 0), F.col("p_size"))
+        .when(F.col("p_retailprice") > 1500, F.lit(50))
+        .otherwise(F.lit(-1))
+        .alias("effective_size"),
+        F.when(F.col("p_type").startswith("PROMO"), F.lit("promo"))
+        .when(F.col("p_type").startswith("STANDARD"), F.lit("standard"))
+        .otherwise(F.lit("other"))
+        .alias("type_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3/C10-analog: lossy cast out of a JSON-ish payload (/root/reference/etl/
+# cleaning/clean_data.py:116 to_numeric(errors='coerce');
+# fact_cell_rollup.sql:61-74 JSON map handling).
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_cast",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + cast (null on failure) + agg — the lossy-cast
+    clean step as pure Catalyst expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (-?[0-9]+)', 1).cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6: calculate_delta_upperbounded — the reference's circular-delta kernel
+# (/root/reference/etl/init/single_statement_sql/
+# calculate_delta_upperbounded.sql:1-28): Σ min(d, ub−d) over consecutive
+# absolute differences, empty/1-elem -> 0. Golden-testable (SURVEY.md C6).
+# ---------------------------------------------------------------------------
+@query(
+    "delta_upperbounded",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, array_agg(value ORDER BY ts, event_id) AS vals
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_points,
+           ROUND(CASE WHEN len(vals) < 2 THEN 0.0 ELSE
+             list_sum(list_transform(range(1, len(vals)),
+               i -> LEAST(ABS(vals[i+1] - vals[i]), 360.0 - ABS(vals[i+1] - vals[i]))))
+           END, 4) AS total_delta
+    FROM seqs
+    """,
+)
+def delta_upperbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect ordered array per key, then higher-order functions:
+    zip_with(slice,slice) consecutive pairs -> aggregate sum. All
+    JVM-side; the plpgsql loop becomes two array expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    seqs = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ).alias("rows")
+    )
+    vals = F.col("rows.value")
+    n = F.size(vals)
+    pairs = F.zip_with(
+        F.slice(vals, 1, n - 1),
+        F.slice(vals, 2, n - 1),
+        lambda a, b: F.least(F.abs(b - a), F.lit(360.0) - F.abs(b - a)),
+    )
+    total = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+    return seqs.select(
+        "user_id",
+        n.alias("n_points"),
+        F.round(F.when(n < 2, F.lit(0.0)).otherwise(total), 4).alias("total_delta"),
+    )

@@ -1,0 +1,260 @@
+"""Window / ordered-per-key operator battery — SURVEY.md §2.5.
+
+The reference implements every one of these as a hand-written per-group
+Python loop inside its trajectory builder; here each is a pure window
+expression (one shuffle on the key, whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.queries import query
+from etl_spark.sources.readers import load_table
+
+# Gap threshold for sessionization — the reference splits trajectories at
+# 900 s point gaps (/root/reference/etl/trajectory/builder.py:37-38).
+SESSION_GAP_S = 900
+
+
+# ---------------------------------------------------------------------------
+# W2 (pure-lag part): consecutive-row comparison per key — the reference's
+# outlier speed check (/root/reference/etl/trajectory/builder.py:460-524):
+# rate of change between consecutive points; same-timestamp ⇒ outlier.
+# ---------------------------------------------------------------------------
+@query(
+    "lag_outlier_detect",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             (epoch_us(ts) // 1000000) - (epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) AS dt_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN dt_s = 0 THEN 1 END) AS n_same_ts,
+           COUNT(CASE WHEN dt_s > 0 AND ABS(value - prev_value) / dt_s > 1.0 THEN 1 END) AS n_outliers
+    FROM lagged GROUP BY user_id
+    """,
+)
+def lag_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over (partition by key order by ts): rate = |Δvalue|/Δt;
+    Δt = 0 flags a same-timestamp row exactly like the reference."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    lagged = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        dt.alias("dt_s"),
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("dt_s") == 0, 1)).alias("n_same_ts"),
+        F.count(
+            F.when(
+                (F.col("dt_s") > 0)
+                & (F.abs(F.col("value") - F.col("prev_value")) / F.col("dt_s") > 1.0),
+                1,
+            )
+        ).alias("n_outliers"),
+    )
+
+
+def sessionized(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """W3 as a reusable operator: lag -> gap flag -> running sum =
+    session id (classic sessionization; the reference's gap-split loop,
+    builder.py:102-115). One shuffle on user_id; both windows share it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0)
+    return ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 + W5: gap-based sessionization + min-points guard
+# (builder.py:102-115 split; builder.py:34,195-196 "> 2 points" guard).
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN (epoch_us(ts) // 1000000) - (epoch_us(LAG(ts) OVER w) // 1000000) >= {SESSION_GAP_S}
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_points,
+           ((epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000))::BIGINT AS duration_s,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    HAVING COUNT(*) > 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize then aggregate per session; sessions with <= 2 points
+    dropped (the reference's POINTS_FOR_TRAJECTORY_THRESHOLD). The
+    streaming twin is session_window(ts, '15 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionized(ev)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_s"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("session_value"),
+        )
+        .filter(F.col("n_points") > 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: sequential-duplicate compression — keep rows where the value changed
+# vs the previous row (builder.py:361-367 stepwise tfloat dedup).
+# ---------------------------------------------------------------------------
+@query(
+    "seq_dedup_compress",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 END) AS n_changes
+    FROM lagged GROUP BY user_id
+    """,
+)
+def seq_dedup_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(col) != col filter — run-length compression of a stepwise
+    signal as a pure window expression."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")),
+                1,
+            )
+        ).alias("n_changes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8: top-1 per group (/root/reference/etl/partition_builder/
+# 02_kd_tree_construction.sql:44-48 ORDER BY numPoints DESC LIMIT 1).
+# ---------------------------------------------------------------------------
+@query(
+    "top1_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS top_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS top_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number()=1 with a deterministic tiebreak — at scale this
+    beats orderBy().limit() because it never globally sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").cast("double").alias("top_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LWW dedup — the CDC core pattern (SURVEY.md A2 note: row_number over
+# (partition by key order by ts desc) = 1), over the events table.
+# ---------------------------------------------------------------------------
+@query(
+    "lww_latest_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ts AS last_ts, ROUND(CAST(value AS DOUBLE), 4) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per (user_id, event_type) via the engine's
+    skew-resistant max(struct) dedup operator (operators/dedup.py) —
+    aggregate form gets a map-side partial the window form lacks."""
+    from etl_spark.operators.dedup import lww_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    winners = lww_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return winners.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.round(F.col("value").cast("double"), 4).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9-successor: deterministic surrogate ids — xxhash64 instead of the
+# reference's random-with-collision-retry id generator
+# (/root/reference/etl/insert/insert_trajectories.py:30-50). No SQL oracle
+# (xxhash64 is Spark-specific); checked by uniqueness-count instead.
+# ---------------------------------------------------------------------------
+@query(
+    "deterministic_ids",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    """,
+)
+def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 surrogate ids are injective in practice on this keyspace:
+    assert distinct-id count == distinct-key count (the property the
+    reference's own tests pin for its random ids)."""
+    o = load_table(spark, sf_dir, "orders")
+    ids = o.select(F.xxhash64("o_orderkey").alias("sid"), "o_orderkey")
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sid").alias("n_keys"),
+    )
