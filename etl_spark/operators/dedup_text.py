@@ -1,0 +1,268 @@
+"""Document-level deduplication operators — the training-data-pipeline
+family: exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+All operators take a DataFrame with an id column and a text column and
+return pair/group DataFrames. Scale design notes per operator; nothing
+here collects to the driver, and every join is an equi-join so Catalyst
+/ AQE pick broadcast vs shuffle by size.
+
+Portability: hashes are md5 (identical in Spark, DuckDB, and Python's
+hashlib), so each operator has an exact SQL oracle twin in
+etl_spark/queries/dedup_docs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.functions.text import content_fingerprint, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized-content fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: canonical id (min), copy count.
+    At 100 TB this is one partial-aggregated shuffle of (hash, id) —
+    the text never moves."""
+    return (
+        df.select(
+            content_fingerprint(F.col(text_col)).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard: shingle -> equi-join on shingle -> pair intersection
+# counts -> |A∩B| / (|A|+|B|−|A∩B|). The equi-join-instead-of-theta-join
+# trick is the same move that replaced the reference's spatial theta join
+# (SURVEY.md J6: compute the grid cell, then equi-join).
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, shingle) exploded + per-doc distinct-shingle count."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), k).alias("grams"),
+    )
+    return sh.select("doc", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs with shingle-Jaccard >= threshold.
+
+    Scale levers: ``max_doc_freq`` drops shingles shared by more than N
+    docs (stopword shingles explode the join quadratically at corpus
+    scale; dropping them only loses pairs whose *every* shingle is that
+    common). The join itself is equi on the shingle — skew from popular
+    shingles is exactly the hot-key case AQE skew-join + the cap handle.
+    """
+    grams = shingle_table(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        grams = grams.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("gram"), "gram"
+        )
+    a = grams.select(
+        F.col("doc").alias("a_id"), F.col("n_grams").alias("a_n"), "gram"
+    )
+    b = grams.select(
+        F.col("doc").alias("b_id"), F.col("n_grams").alias("b_n"), "gram"
+    )
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding. Permutations are salted md5s (portable across
+# engines); signatures come from the *exploded* shingle table via 16 min
+# aggregates — map-side partials, no per-doc array state, so a hot doc
+# (millions of shingles) still reduces incrementally.
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(doc, n_grams, mh0..mh15): minhash_i = min(md5(i || '|' || gram))."""
+    grams = shingle_table(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return grams.groupBy("doc", "n_grams").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs from band-bucket collisions, then exact-Jaccard
+    verified (candidates only — the expensive join never sees docs that
+    no band put together).
+
+    Banding math: P(candidate) = 1-(1-s^4)^4 — s=0.8 -> 0.87,
+    s=0.95 -> 0.98; the verify step makes precision exact, recall is
+    the LSH trade (the oracle twin replicates the identical banding, so
+    the comparison is exact)."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "#", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(F.col("doc").alias("a_id"), "band", "sig")
+    b = banded.select(F.col("doc").alias("b_id"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact verify on candidates only
+    grams = shingle_table(df, id_col, text_col, k)
+    ga = grams.select(F.col("doc").alias("a_id"), F.col("n_grams").alias("a_n"), "gram")
+    gb = grams.select(F.col("doc").alias("b_id"), F.col("n_grams").alias("b_n"), "gram")
+    common = (
+        cands.join(ga, "a_id")
+        .join(gb, ["b_id", "gram"])
+        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
+    return (
+        common.filter(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit fingerprint from distinct-token md5 bits; near-dup =
+# Hamming distance <= d. Banding into (d+1) chunks guarantees FULL recall
+# for distance <= d (pigeonhole: at most d chunks can differ), so the
+# banded plan equals the all-pairs oracle exactly.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HEX_DIGITS = "0123456789abcdef"
+
+
+def _bit_of_md5(md5_col: F.Column, j: int) -> F.Column:
+    """Bit j (0 = MSB) of an md5 hex string, via portable arithmetic:
+    hex digit -> int via strpos, then (d div 2^(3-j%4)) % 2."""
+    digit = F.substring(md5_col, 1 + j // 4, 1)
+    val = F.instr(F.lit(HEX_DIGITS), digit) - 1
+    shift = 2 ** (3 - j % 4)
+    return F.floor(val / shift) % 2
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, bits: array<int> of 64): bit = 1 iff Σ_tokens (±1) > 0.
+
+    Computed from the exploded distinct-token table with 64 sum
+    aggregates — partial-combinable, no per-doc state."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = [
+        F.sum(_bit_of_md5(F.col("h"), j) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
+    bits = F.array(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select("doc", bits.alias("bits"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(a < b) pairs with Hamming(simhash) <= max_hamming, via
+    (max_hamming+1)-chunk banding + exact verify — full recall by
+    pigeonhole, so identical to the quadratic all-pairs answer."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    chunk = SIMHASH_BITS // n_chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.concat_ws(
+                "",
+                *[
+                    F.col("bits")[i].cast("string")
+                    for i in range(c * chunk, min((c + 1) * chunk, SIMHASH_BITS))
+                ],
+            ).alias("sig"),
+        )
+        for c in range(n_chunks)
+    ]
+    banded = fps.select("doc", "bits", F.explode(F.array(*chunk_cols)).alias("cs")).select(
+        "doc", "bits", F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig")
+    )
+    a = banded.select(F.col("doc").alias("a_id"), F.col("bits").alias("a_bits"), "chunk", "sig")
+    b = banded.select(F.col("doc").alias("b_id"), F.col("bits").alias("b_bits"), "chunk", "sig")
+    cands = (
+        a.join(b, ["chunk", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_bits", "b_bits")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("a_bits"), F.col("b_bits"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,221 @@
+"""Similarity-search operators over an embedding column
+(array<float>): brute-force cosine top-k (the exact baseline),
+label-partitioned search (the IVF-shaped scale path), and
+random-hyperplane LSH bucketing.
+
+Dot products are left-fold ``F.aggregate(zip_with(...))`` over doubles —
+JVM higher-order functions, no Python, deterministic order. The
+hyperplanes are ±1 constants derived from md5 at import time
+(deterministic, replayable, and reproducible in the SQL oracle twin).
+
+Scale design: brute force is O(Q x N) — correct as the rerank stage;
+the bucketed variants cut the candidate set first (bucket equi-join =
+the same shuffle shape as every other key join in the engine). At
+corpus scale the vectors stay columnar (no Python round-trip) and the
+query side broadcasts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 16
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return col.cast("array<double>")
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Deterministic left-fold dot product (index order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(a < b) pairs with cosine >= threshold. ``block_col`` restricts
+    pairing to equal blocking keys (turning the cross join into an
+    equi-join — the scale lever)."""
+    sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("blk"))
+    base = df.select(*sel)
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    if block_col:
+        joined = a.join(b, F.col("a_blk") == F.col("b_blk"))
+    else:
+        joined = a.crossJoin(b)
+    cos = cosine(F.col("a_v"), F.col("b_v"))
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            F.col("a_id"),
+            F.col("b_id"),
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: broadcast the (small)
+    query side, score all corpus rows, row_number per query. The
+    correctness baseline every approximate variant reranks against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
+
+
+def partitioned_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    part_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-shaped search: probe only the query's partition (here the
+    given ``part_col`` plays the coarse-quantizer cell). The cross join
+    becomes an equi-join on the cell — candidate count drops by the
+    partition fan-out, the plan is the standard skew-aware key join."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col(part_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(part_col).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cell",
+            "rank",
+            "cand_id",
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
+    """±1 hyperplanes from md5(plane|coord) parity — deterministic,
+    engine-independent constants (the oracle SQL embeds the same
+    literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: F.Column, planes: list[list[int]]) -> F.Column:
+    """Bit string: sign(dot(plane, v)) per plane."""
+    bits = [
+        F.when(
+            dot(F.array(*[F.lit(float(x)) for x in row]), vec) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for row in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = 16-bit sign signature; candidates
+    share the query's bucket; exact cosine rerank inside the bucket.
+    Approximate by design — recall is the banding trade — but fully
+    deterministic, so the oracle twin reproduces it bit-for-bit."""
+    planes = planes or hyperplanes()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("sig", lsh_signature(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("sig", lsh_signature(F.col("cv"), planes))
+    scored = c.join(F.broadcast(q), "sig").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )

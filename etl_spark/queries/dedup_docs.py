@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later batch."""
+"""Deduplication queries over the documents table — the training-data
+dedup families: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine. Operators live in etl_spark/operators/dedup_text.py
+and operators/similarity.py; every oracle replicates the identical
+hash arithmetic (md5 is md5 in every engine) so comparisons are exact,
+including the LSH banding behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.operators import dedup_text as D
+from etl_spark.operators.similarity import cosine_pairs
+from etl_spark.queries import query
+from etl_spark.sources.readers import load_table
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.45
+
+# Shared SQL fragments -------------------------------------------------------
+
+# distinct 5-word shingles, exploded: (doc_id, n_grams, gram)
+_GRAMS_CTE = """
+  wordsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' ')) - 3, 1)),
+             i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS grams
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM wordsets
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_md5
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5 — one
+    partial-aggregated shuffle of (hash, id); payloads never move."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n_grams AS a_n, b.n_grams AS b_n,
+             COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id, a_n, b_n
+    )
+    SELECT a_id, b_id, n_common,
+           ROUND(n_common / (a_n + b_n - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE n_common / (a_n + b_n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-word-shingle Jaccard >= 0.8 pairs via shingle equi-join (the
+    theta-join-to-equi-join rewrite, SURVEY.md J6). Exact — the
+    baseline the MinHash variant approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+_MH = ",\n           ".join(
+    f"MIN(md5('{i}|' || gram)) AS mh{i}" for i in range(D.N_HASHES)
+)
+_BANDS_SQL = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, n_grams, {b} AS band, ".format(b=b)
+    + " || '#' || ".join(f"mh{b * 4 + r}" for r in range(4))
+    + " AS sig FROM sigs"
+    for b in range(D.N_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    sigs AS (
+      SELECT doc_id, n_grams,
+           {_MH}
+      FROM grams GROUP BY doc_id, n_grams
+    ),
+    banded AS (
+{_BANDS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a_id, c.b_id, ga.n_grams AS a_n, gb.n_grams AS b_n,
+             COUNT(*) AS n_common
+      FROM cands c
+      JOIN grams ga ON ga.doc_id = c.a_id
+      JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+      GROUP BY c.a_id, c.b_id, a_n, b_n
+    )
+    SELECT a_id, b_id,
+           ROUND(n_common / (a_n + b_n - n_common), 4) AS jaccard
+    FROM verified
+    WHERE n_common / (a_n + b_n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 salted-md5 permutations) -> 4-band LSH bucketing ->
+    exact-Jaccard verification of candidates only. The oracle replicates
+    the same signatures and bands, so even the approximate candidate
+    set must match bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", k=5, threshold=JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+def _bit_sql(j: int) -> str:
+    """±1 contribution of bit j of md5(tok) — same arithmetic as
+    operators/dedup_text._bit_of_md5."""
+    pos = 1 + j // 4
+    shift = 2 ** (3 - j % 4)
+    return (
+        f"(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+        f"/ {shift})::BIGINT % 2) * 2 - 1"
+    )
+
+
+_SIM_SUMS = ",\n             ".join(
+    f"SUM({_bit_sql(j)}) AS s{j}" for j in range(D.SIMHASH_BITS)
+)
+_SIM_BITS = ", ".join(
+    f"CASE WHEN s{j} > 0 THEN 1 ELSE 0 END" for j in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(list_distinct(string_split(lower(text), ' ')))) AS h
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_SIM_SUMS}
+      FROM toks GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id, [{_SIM_BITS}] AS bits FROM sums
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           list_sum(list_transform(range(1, 65),
+                    i -> abs(a.bits[i] - b.bits[i])))::BIGINT AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE list_sum(list_transform(range(1, 65),
+                   i -> abs(a.bits[i] - b.bits[i]))) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming <= 3) via 4-chunk banding
+    + exact verify. Full recall by pigeonhole (<=3 differing bits can
+    dirty at most 3 of 4 chunks), which is why the banded Spark plan
+    must equal the all-pairs SQL oracle exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))))
+             AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND(cos_raw, 4) AS cosine
+    FROM scored WHERE cos_raw >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine >= 0.45 over all (a<b)
+    pairs — JVM higher-order-function fold, doubles end to end. The
+    all-pairs form is the rerank kernel; the LSH-bucketed scale path is
+    ann_lsh_topk (queries/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
