@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs (a) the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and (b) the end-to-end CDC ingest throughput
+bench (tail -> clean -> dedup -> extract -> MERGE -> commit) on a
+deterministically generated change log, on local[$SPARK_GRAFT_CPUS].
+
+Protocol follows the reference's harness discipline
+(/root/reference/benchmarks/runners/abstract_benchmark_runner.py:23,
+60-66): warm-up run first, then timed iterations, medians reported.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_INGEST_EVENTS  change events for the ingest bench (default 2_000_000)
+  BENCH_ITERS          timed iterations per query (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+
+HEADLINE_QUERIES = [
+    # scan + agg (pushdown, partial aggs)
+    "pricing_summary",
+    # broadcast join chain
+    "dim_join_enrich",
+    # window sessionization
+    "sessionize_events",
+    # skew-resistant LWW dedup
+    "lww_latest_event",
+    # shingle-join + LSH dedup
+    "dedup_minhash_lsh",
+    # vector top-k
+    "ann_bruteforce_topk",
+    # two-level rollup
+    "two_level_rollup",
+]
+
+
+def _time_query(fn, spark, sf_dir, iters: int) -> float:
+    fn(spark, sf_dir).count()  # warm-up (plans, code-gen, page cache)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def run_ingest_bench(spark, n_events: int, n_epochs: int = 2) -> dict:
+    """End-to-end change-events/sec: generate -> ingest all epochs ->
+    atomic commits. Returns events/sec and stage seconds."""
+    from etl_spark.pipeline import Warehouse, ingest_range
+    from etl_spark.session import warm_python_workers
+    from etl_spark.sources.changelog import changes_at_scale
+
+    warm_python_workers(spark)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    root = tempfile.mkdtemp(prefix="bench_wh_")
+    # bucket count sized to keep every core writing (4 buckets/core);
+    # on a real cluster this is thousands (see BASELINE.md).
+    wh = Warehouse.init(os.path.join(root, "wh"), n_buckets=4 * cpus)
+    changes = changes_at_scale(
+        spark, n_events, events_per_epoch=n_events // n_epochs + 1
+    )
+    t0 = time.perf_counter()
+    stats = ingest_range(
+        spark, wh, changes, range(n_epochs), with_rollup=False, with_lineage=False
+    )
+    wall = time.perf_counter() - t0
+    applied = sum(s.delta_rows for s in stats)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "events": n_events,
+        "epochs": n_epochs,
+        "merged_keys": applied,
+        "wall_s": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    n_events = int(os.environ.get("BENCH_INGEST_EVENTS", "2000000"))
+
+    from etl_spark.queries import load_all
+    from etl_spark.session import get_spark
+
+    spark = get_spark("etl_spark_bench", parallelism=cpus)
+    registry = load_all()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        queries[name] = round(
+            _time_query(registry[name].fn, spark, sf_dir, iters), 3
+        )
+
+    ingest = run_ingest_bench(spark, n_events)
+    total = round(sum(queries.values()) + ingest["wall_s"], 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline queries + CDC ingest wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest": ingest,
+        "cpus": cpus,
+        "iterations": iters,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

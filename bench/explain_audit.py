@@ -1,0 +1,127 @@
+"""Physical-plan audit: dump .explain('formatted') for the headline
+queries and check the plan properties that matter at 100 TB —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for small dimensions, whole-stage codegen coverage, and no
+accidental cartesian products.
+
+Usage: python -m bench.explain_audit [--sf-dir DIR] [--out PLANS.md]
+Exits non-zero if a required plan property is missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+
+# query -> (must contain, must NOT contain) substrings of the formatted plan
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    "pricing_summary": (
+        ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
+         "HashAggregate", "WholeStageCodegen"],
+        ["CartesianProduct"],
+    ),
+    "dim_join_enrich": (
+        ["BroadcastHashJoin", "BroadcastExchange"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    "two_level_rollup": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "sessionize_events": (
+        ["Window", "Sort"],
+        ["CartesianProduct"],
+    ),
+    "lww_latest_event": (
+        # the aggregate LWW rewrite: partial_max before the shuffle
+        ["partial_max", "HashAggregate"],
+        ["Window", "CartesianProduct"],
+    ),
+    "anti_join_customers": (
+        ["LeftAnti"],
+        ["CartesianProduct"],
+    ),
+    "semi_join_suppliers": (
+        ["LeftSemi", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"],
+        ["CartesianProduct"],
+    ),
+    "dedup_minhash_lsh": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # brute-force ANN is an intended broadcast nested loop (tiny query side)
+    "ann_bruteforce_topk": (
+        ["BroadcastNestedLoopJoin"],
+        [],
+    ),
+    "ann_partitioned_topk": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+}
+
+# column-pruning check: (query, scan relation substring, pruned ReadSchema)
+PRUNING = [
+    (
+        "pricing_summary",
+        "lineitem",
+        "l_quantity,l_extendedprice,l_discount,l_returnflag,l_linestatus,l_shipdate",
+    ),
+]
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from etl_spark.queries import load_all
+    from etl_spark.session import get_spark
+
+    spark = get_spark("explain_audit", parallelism=4)
+    registry = load_all()
+
+    report: list[str] = ["# Physical-plan audit", ""]
+    failures: list[str] = []
+    for name, (must, must_not) in CHECKS.items():
+        plan = formatted_plan(registry[name].fn(spark, args.sf_dir))
+        report += [f"## {name}", "", "```", plan.strip(), "```", ""]
+        for s in must:
+            if s not in plan:
+                failures.append(f"{name}: missing required plan fragment {s!r}")
+        for s in must_not:
+            if s in plan:
+                failures.append(f"{name}: forbidden plan fragment {s!r} present")
+    for name, rel, cols in PRUNING:
+        plan = formatted_plan(registry[name].fn(spark, args.sf_dir))
+        want = f"ReadSchema: struct<{cols}"
+        if want.replace(",", ":") not in plan.replace(",", ":"):
+            # ReadSchema prints types; compare column order loosely
+            got = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+            ok = got and all(c.split(":")[0] in got[0] for c in cols.split(","))
+            if not ok:
+                failures.append(f"{name}: scan of {rel} not pruned to [{cols}]; got {got}")
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write("\n".join(report))
+    if failures:
+        print("\n".join("FAIL " + f for f in failures))
+        sys.exit(1)
+    print(f"plan audit OK ({len(CHECKS)} queries)")
+
+
+if __name__ == "__main__":
+    main()

@@ -244,7 +244,9 @@ class LakeTable:
         return self.read(spark).count()
 
     # -- write --------------------------------------------------------------
-    def _write_data(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_data(
+        self, df: DataFrame, version: int, already_partitioned: bool = False
+    ) -> dict[str, list[str]]:
         """Write ``df`` (must carry BUCKET_COL) under data/v<version>,
         one directory per bucket; returns bucket -> relative file paths.
 
@@ -253,12 +255,16 @@ class LakeTable:
         the same write shape Iceberg's fanout writer produces). The
         bucket column is stored both physically (for file-list reads)
         and as the partition dir (for humans / external tools).
+        ``already_partitioned``: the producer guarantees each bucket's
+        rows live in one task partition (e.g. the grouped-map SPJ
+        merge) — skip the extra shuffle.
         """
         out_dir = self._data_dir(version)
+        with_dir = df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
+        if not already_partitioned:
+            with_dir = with_dir.repartition(F.col(BUCKET_COL))
         (
-            df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
-            .repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
+            with_dir.write.mode("overwrite")
             .partitionBy(_PARTITION_DIR_COL)
             .parquet(out_dir)
         )
@@ -284,6 +290,7 @@ class LakeTable:
         applied_epoch: int | None = None,
         summary: dict | None = None,
         overwrite_all: bool = False,
+        already_bucket_partitioned: bool = False,
     ) -> Snapshot:
         """Write ``new_data`` (with BUCKET_COL) and commit a snapshot.
 
@@ -297,7 +304,9 @@ class LakeTable:
             return head  # exactly-once: epoch already applied
         version = head.version + 1
         if new_data is not None:
-            written = self._write_data(new_data, version)
+            written = self._write_data(
+                new_data, version, already_partitioned=already_bucket_partitioned
+            )
         else:
             written = {}
         if overwrite_all:

@@ -119,3 +119,40 @@ def adaptive_lww_dedup(
     if hot:
         return salted_lww_dedup(df, key_cols, order_cols, n_salts=n_salts)
     return lww_dedup(df, key_cols, order_cols)
+
+
+def delta_stats(
+    df, key_cols: list[str], n_buckets: int
+) -> tuple[list[int], int, int]:
+    """One light pre-pass over the cleaned delta: (touched buckets,
+    distinct-key count, hottest-key row count).
+
+    Two-level aggregation — groupBy(bucket, key).count() then
+    groupBy(bucket) — so the shuffle carries one long per key and the
+    driver receives at most n_buckets rows. Replaces BOTH the separate
+    hot-key histogram pass and the cached-winners bucket-discovery
+    pass: at 10^10 events caching the delta payload is the wrong move
+    (columnar-cache build + eviction dwarf a recompute); bounded stats
+    + a single streamed full pass is the shape that scales.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import BUCKET_COL, bucket_expr
+
+    per_key = (
+        df.groupBy(
+            bucket_expr(key_cols, n_buckets).alias(BUCKET_COL), *key_cols
+        ).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rows = (
+        per_key.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_n").alias("max_n"),
+        )
+        .collect()
+    )
+    touched = [int(r[BUCKET_COL]) for r in rows]
+    n_keys = int(sum(r["n_keys"] for r in rows))
+    max_n = int(max((r["max_n"] for r in rows), default=0))
+    return touched, n_keys, max_n

@@ -93,12 +93,22 @@ def merge_epoch(
     order_cols: list[str] = ("warc_ts", "seq"),
     hot_threshold: int = 100_000,
     pre_deduped: bool = False,
+    touched_buckets: list[int] | None = None,
+    delta_rows: int | None = None,
 ) -> MergeStats:
     """Apply one epoch's change events to the table, exactly once.
 
     ``pre_deduped``: the pipeline dedups *before* the extract kernel so
     losers are never decoded (at 10^10 events decoding losers is the
     dominant wasted cost) — then passes the winners here with this flag.
+
+    ``touched_buckets``/``delta_rows``: supplied by the pipeline's light
+    stats pass (delta_stats). When present, the delta is NEVER
+    cached — the merge write is the single full-compute action. Caching
+    an epoch's payload is wrong at 10^10-event scale (it evicts or
+    spills anyway and the columnar-cache build costs more than a
+    recompute); bounded driver-side stats + one streamed pass is the
+    shape that survives.
     """
     order_cols = list(order_cols)
     if epoch in table.applied_epochs():
@@ -118,13 +128,19 @@ def merge_epoch(
         )
     winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
 
-    # Cache: touched-bucket discovery + the join both consume it, and at
-    # epoch scale (delta, not table) it fits executor storage.
-    winners = winners.persist()
-    touched = [r[0] for r in winners.select(BUCKET_COL).distinct().collect()]
-    delta_rows = winners.count()
+    cached = False
+    if touched_buckets is None or delta_rows is None:
+        # Fallback (no stats pass): cache winners for the two discovery
+        # actions + the join.
+        winners = winners.persist()
+        cached = True
+        touched = [r[0] for r in winners.select(BUCKET_COL).distinct().collect()]
+        delta_rows = winners.count()
+    else:
+        touched = [int(b) for b in touched_buckets]
     if not touched:
-        winners.unpersist()
+        if cached:
+            winners.unpersist()
         head = table.commit(
             None, applied_epoch=epoch, summary={"operation": "merge", "epoch": epoch, "rows": 0}
         )
@@ -185,5 +201,6 @@ def merge_epoch(
             "touched_list": [int(b) for b in touched],
         },
     )
-    winners.unpersist()
+    if cached:
+        winners.unpersist()
     return MergeStats(epoch, False, len(touched), delta_rows, new_snap.version)

@@ -1,0 +1,246 @@
+"""Single-shuffle storage-partitioned MERGE — the scale-path upsert.
+
+The baseline merge (operators/merge.py) shuffles the epoch payload three
+times: LWW groupBy (hash by key), full-outer join vs current (hash by
+key again), and the write repartition (hash by bucket). This variant
+collapses them into ONE payload shuffle:
+
+    delta.groupBy(bucket).applyInPandas(merge_bucket) -> write
+
+Inside the grouped-map kernel (one call per bucket, Arrow-batched):
+  1. LWW winner per key (vectorized sort + drop_duplicates keep-last —
+     same (warc_ts, seq) total order as the JVM max-struct dedup);
+  2. html -> text extraction for winners only (the SAME frozen kernel,
+     functions/extract.extract_text_series — byte-identity preserved);
+  3. executor-local pyarrow read of the bucket's CURRENT parquet files
+     (the manifest's file list rides the closure) — a hand-rolled
+     storage-partitioned join: current rows never cross the network,
+     exactly what Iceberg SPJ gives co-bucketed tables;
+  4. row arbitration identical to the JVM merge: delta wins iff no
+     current row or delta.warc_ts >= current.warc_ts; 'D' winners drop
+     the key; untouched current rows carry through (the whole bucket is
+     rewritten, so losers must be re-emitted).
+
+The output is already partitioned by bucket (the one shuffle), so the
+lake write skips its repartition. Hot keys: when the stats pre-pass
+sees a key above threshold, a JVM salted pre-reduce runs BEFORE the
+grouped map so no pandas group ever materializes a hot key's full row
+set.
+
+Memory contract: one call holds one bucket's delta winners + current
+rows. n_buckets is the knob — size it so bucket ~ O(100 MB) at the
+target scale (thousands of buckets at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_spark.functions.extract import extract_text_series
+from etl_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from etl_spark.operators.dedup import salted_lww_dedup
+from etl_spark.operators.merge import MergeStats, evolve_for_delta
+
+OP_COL = "op"
+
+
+def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
+    """Coerce pandas dtypes so Arrow conversion round-trips the Spark
+    schema (object for strings/binary, datetime64 for timestamps)."""
+    for f in schema.fields:
+        c = f.name
+        if c not in pdf.columns:
+            pdf[c] = None
+        if isinstance(f.dataType, T.TimestampType):
+            pdf[c] = pd.to_datetime(pdf[c])
+    return pdf
+
+
+def make_bucket_merger(
+    root: str,
+    files_by_bucket: dict[str, list[str]],
+    schema: T.StructType,
+    key_cols: list[str],
+    order_cols: list[str],
+    extracted: bool,
+):
+    """Build the grouped-map kernel (a closure over the snapshot's
+    per-bucket file lists — the manifest is small and broadcast with
+    the task)."""
+    payload_cols = [f.name for f in schema.fields]
+    out_cols = payload_cols + [BUCKET_COL]
+    ts_col = order_cols[0]
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        bucket = int(pdf[BUCKET_COL].iloc[0])
+
+        # 1. LWW winners (keep-last over the ascending order tuple).
+        winners = (
+            pdf.sort_values(order_cols, kind="mergesort")
+            .drop_duplicates(key_cols, keep="last")
+            .copy()
+        )
+
+        # 2. extract text for surviving payloads only.
+        if not extracted and "html" in winners.columns:
+            winners["text"] = extract_text_series(winners["html"])
+        # pre-evolution deltas may lack later-added payload columns
+        for c in payload_cols:
+            if c not in winners.columns:
+                winners[c] = None
+
+        # 3. executor-local read of the bucket's current rows.
+        paths = files_by_bucket.get(str(bucket), [])
+        if paths:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            # use_threads=False everywhere: parallelism comes from Spark
+            # tasks; Arrow's default per-call thread pool (cpu_count
+            # threads in EVERY worker process) oversubscribes the box
+            # by n_workers x n_cpus and serializes the stage.
+            tables = [
+                pq.read_table(os.path.join(root, p), use_threads=False)
+                for p in paths
+            ]
+            cur = pa.concat_tables(tables, promote_options="default").to_pandas(
+                use_threads=False
+            )
+            # old files may predate later-added columns
+            for c in payload_cols:
+                if c not in cur.columns:
+                    cur[c] = None
+        else:
+            cur = pd.DataFrame(columns=payload_cols)
+
+        # 4. arbitration (same rule as the JVM merge: >= lets replays
+        # and equal-ts updates win deterministically).
+        merged = winners.merge(
+            cur[payload_cols] if len(cur) else cur,
+            on=key_cols,
+            how="outer",
+            suffixes=("", "_cur"),
+            indicator=True,
+        )
+        cur_ts = merged.get(f"{ts_col}_cur")
+        in_delta = merged["_merge"] != "right_only"
+        has_cur = merged["_merge"] != "left_only"
+        if cur_ts is None:
+            delta_wins = in_delta
+        else:
+            delta_wins = in_delta & (~has_cur | (merged[ts_col] >= cur_ts))
+        is_delete = merged[OP_COL].eq("D") if OP_COL in merged.columns else False
+        keep_delta = delta_wins & ~is_delete
+        keep_cur = has_cur & ~delta_wins
+
+        parts = []
+        if keep_delta.any():
+            parts.append(merged.loc[keep_delta, payload_cols])
+        if keep_cur.any():
+            cur_view = merged.loc[keep_cur].copy()
+            for c in payload_cols:
+                cc = f"{c}_cur"
+                if cc in cur_view.columns:
+                    cur_view[c] = cur_view[cc]
+            parts.append(cur_view[payload_cols])
+        if parts:
+            out = pd.concat(parts, ignore_index=True)
+        else:
+            out = pd.DataFrame(columns=payload_cols)
+        out[BUCKET_COL] = bucket
+        return _arrow_safe(out, schema)[out_cols]
+
+    return merge_bucket
+
+
+def merge_epoch_spj(
+    spark: SparkSession,
+    table: LakeTable,
+    delta: DataFrame,
+    epoch: int,
+    order_cols: Iterable[str] = ("warc_ts", "seq"),
+    touched_buckets: list[int] | None = None,
+    delta_rows: int | None = None,
+    hot: bool = False,
+    n_salts: int = 16,
+    extracted: bool = False,
+) -> MergeStats:
+    """Apply one epoch via the single-shuffle grouped-map merge.
+
+    ``touched_buckets`` (from the stats pre-pass) is REQUIRED for
+    correctness of deletes: a bucket whose merge output is empty writes
+    no files, and only the touched list tells the commit to drop the
+    old ones. ``hot``: run the JVM salted pre-reduce first.
+    """
+    order_cols = list(order_cols)
+    if epoch in table.applied_epochs():
+        head = table.snapshot()
+        return MergeStats(epoch, True, 0, 0, head.version)
+
+    snap = evolve_for_delta(table, delta)
+    key_cols = snap.key_cols
+    schema = snap.schema
+
+    if touched_buckets is None:
+        touched_buckets = [
+            int(r[0])
+            for r in delta.select(
+                bucket_expr(key_cols, snap.n_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        ]
+    touched = [int(b) for b in touched_buckets]
+    if not touched:
+        head = table.commit(
+            None,
+            applied_epoch=epoch,
+            summary={"operation": "merge_spj", "epoch": epoch, "rows": 0},
+        )
+        return MergeStats(epoch, False, 0, 0, head.version)
+
+    if hot:
+        # bound any pandas group: pre-reduce the hot key across salts
+        delta = salted_lww_dedup(delta, key_cols, order_cols, n_salts=n_salts)
+
+    bucketed = delta.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
+    out_schema = T.StructType(
+        schema.fields + [T.StructField(BUCKET_COL, T.IntegerType(), False)]
+    )
+    kernel = make_bucket_merger(
+        table.root,
+        {b: snap.files.get(str(b), []) for b in map(str, touched)},
+        schema,
+        key_cols,
+        order_cols,
+        extracted,
+    )
+    merged = bucketed.groupBy(BUCKET_COL).applyInPandas(kernel, out_schema)
+
+    new_snap = table.commit(
+        merged,
+        touched_buckets=touched,
+        applied_epoch=epoch,
+        already_bucket_partitioned=True,
+        summary={
+            "operation": "merge_spj",
+            "epoch": epoch,
+            "rows": delta_rows if delta_rows is not None else -1,
+            "touched_buckets": len(touched),
+            "touched_list": touched,
+        },
+    )
+    return MergeStats(
+        epoch,
+        False,
+        len(touched),
+        delta_rows if delta_rows is not None else -1,
+        new_snap.version,
+    )

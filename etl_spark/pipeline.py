@@ -26,8 +26,9 @@ from etl_spark.functions.extract import with_extracted_text
 from etl_spark.lake.table import LakeTable
 from etl_spark.lineage import LineageLog
 from etl_spark.operators.clean import clean_changes
-from etl_spark.operators.dedup import adaptive_lww_dedup
+from etl_spark.operators.dedup import delta_stats, lww_dedup, salted_lww_dedup
 from etl_spark.operators.merge import merge_epoch, MergeStats
+from etl_spark.operators.merge_spj import merge_epoch_spj
 from etl_spark.operators.rollup import rollup_domain_stats
 
 PAGES = "pages"
@@ -86,6 +87,7 @@ def ingest_epoch(
     hot_threshold: int = 100_000,
     with_lineage: bool = True,
     with_rollup: bool = True,
+    strategy: str = "spj",
 ) -> MergeStats:
     """Apply one epoch of change events, exactly once.
 
@@ -108,19 +110,53 @@ def ingest_epoch(
     with log.stage(epoch, "clean") as rec:
         cleaned = clean_changes(delta)
 
-    with log.stage(epoch, "dedup") as rec:
-        winners = adaptive_lww_dedup(
-            cleaned, ["url"], ["warc_ts", "seq"], hot_threshold=hot_threshold
+    # Light stats pre-pass (one aggregation, <= n_buckets rows to the
+    # driver): touched buckets + key count + hottest-key size. Replaces
+    # the per-stage histogram collect AND the cached-winners discovery —
+    # the epoch payload is streamed exactly once (the merge write).
+    snap = wh.pages.snapshot()
+    with log.stage(epoch, "stats") as rec:
+        touched, n_keys, max_key_n = delta_stats(
+            cleaned, snap.key_cols, snap.n_buckets
         )
+        rec["rows_out"] = n_keys
 
-    with log.stage(epoch, "extract") as rec:
-        extracted = with_extracted_text(winners)
+    hot = max_key_n >= hot_threshold
+    if strategy == "spj":
+        # single-shuffle grouped-map merge: dedup + extract + current-
+        # side read + arbitration all inside one bucket-partitioned pass
+        with log.stage(epoch, "merge") as rec:
+            stats = merge_epoch_spj(
+                spark,
+                wh.pages,
+                cleaned,
+                epoch,
+                touched_buckets=touched,
+                delta_rows=n_keys,
+                hot=hot,
+            )
+            rec["rows_out"] = stats.delta_rows
+    else:
+        with log.stage(epoch, "dedup") as rec:
+            if hot:
+                winners = salted_lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
+            else:
+                winners = lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
 
-    with log.stage(epoch, "merge") as rec:
-        stats = merge_epoch(
-            spark, wh.pages, extracted, epoch, pre_deduped=True
-        )
-        rec["rows_out"] = stats.delta_rows
+        with log.stage(epoch, "extract") as rec:
+            extracted = with_extracted_text(winners)
+
+        with log.stage(epoch, "merge") as rec:
+            stats = merge_epoch(
+                spark,
+                wh.pages,
+                extracted,
+                epoch,
+                pre_deduped=True,
+                touched_buckets=touched,
+                delta_rows=n_keys,
+            )
+            rec["rows_out"] = stats.delta_rows
 
     if with_rollup:
         with log.stage(epoch, "rollup") as rec:

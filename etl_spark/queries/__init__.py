@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_docs,
         similarity,
         multimodal,
+        dimensions,
     )
 
     return REGISTRY

