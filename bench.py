@@ -67,7 +67,9 @@ def run_ingest_bench(spark, n_events: int, n_epochs: int = 2) -> dict:
     # bucket count sized to keep every core writing (4 buckets/core);
     # on a real cluster this is thousands (see BASELINE.md).
     wh = Warehouse.init(os.path.join(root, "wh"), n_buckets=4 * cpus)
-    changes = changes_at_scale(
+    from etl_spark.sources.changelog import changes_at_scale_provider
+
+    changes = changes_at_scale_provider(
         spark, n_events, events_per_epoch=n_events // n_epochs + 1
     )
     t0 = time.perf_counter()

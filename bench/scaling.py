@@ -53,7 +53,11 @@ def worker(cpus: int, events: int, n_buckets: int, epochs: int) -> None:
     warm_python_workers(spark)  # interpreter spin-up is startup, not throughput
     root = tempfile.mkdtemp(prefix=f"scale_wh_{cpus}_", dir=scratch_base)
     wh = Warehouse.init(os.path.join(root, "wh"), n_buckets=n_buckets)
-    changes = changes_at_scale(spark, events, events_per_epoch=events // epochs + 1)
+    from etl_spark.sources.changelog import changes_at_scale_provider
+
+    changes = changes_at_scale_provider(
+        spark, events, events_per_epoch=events // epochs + 1
+    )
     from etl_spark.pipeline import ingest_epoch
 
     t0 = time.perf_counter()

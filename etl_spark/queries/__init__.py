@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         dimensions,
+        joins_extra,
     )
 
     return REGISTRY

@@ -258,3 +258,78 @@ def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("sid").alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4: the stop/move state machine — the reference alternates stopped/moving
+# sub-trajectories when speed stays below a threshold long enough
+# (/root/reference/etl/trajectory/builder.py:118-178,393-425, thresholds
+# :31-32). Re-expressed as pure windows: state flag -> run-change marker ->
+# running-sum run id -> per-run duration -> qualifying-run filter. No
+# per-row Python, one shuffle on the key.
+# ---------------------------------------------------------------------------
+STOP_VALUE_THRESHOLD = 50.0  # "speed < 0.5 kn" analog on the value column
+STOP_MIN_DURATION_S = 600  # "for >= 300 s" analog
+
+
+@query(
+    "stop_move_segments",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             (value < {STOP_VALUE_THRESHOLD}) AS is_stop,
+             CASE WHEN LAG(value < {STOP_VALUE_THRESHOLD}) OVER w IS NULL
+                  OR (value < {STOP_VALUE_THRESHOLD}) <> LAG(value < {STOP_VALUE_THRESHOLD}) OVER w
+                  THEN 1 ELSE 0 END AS run_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, is_stop,
+             SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), segs AS (
+      SELECT user_id, run_id, is_stop,
+             COUNT(*) AS n_points,
+             ((epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000))::BIGINT AS duration_s
+      FROM runs GROUP BY user_id, run_id, is_stop
+    )
+    SELECT user_id,
+           COUNT(CASE WHEN is_stop AND duration_s >= {STOP_MIN_DURATION_S} THEN 1 END) AS n_stopped_segments,
+           COUNT(CASE WHEN NOT is_stop THEN 1 END) AS n_moving_segments,
+           SUM(CASE WHEN is_stop AND duration_s >= {STOP_MIN_DURATION_S} THEN n_points ELSE 0 END) AS stopped_points
+    FROM segs GROUP BY user_id
+    """,
+)
+def stop_move_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 as windows: below-threshold runs lasting >= the minimum
+    duration count as 'stopped' segments (the builder's mutually
+    recursive split loop collapses into two window passes + an agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_stop = F.col("value") < STOP_VALUE_THRESHOLD
+    prev_stop = F.lag(is_stop).over(w)
+    run_start = F.when(prev_stop.isNull() | (is_stop != prev_stop), 1).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_stop.alias("is_stop"),
+        F.sum(run_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    segs = runs.groupBy("user_id", "run_id", "is_stop").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )
+    stopped_ok = F.col("is_stop") & (F.col("duration_s") >= STOP_MIN_DURATION_S)
+    return segs.groupBy("user_id").agg(
+        F.count(F.when(stopped_ok, 1)).alias("n_stopped_segments"),
+        F.count(F.when(~F.col("is_stop"), 1)).alias("n_moving_segments"),
+        F.sum(F.when(stopped_ok, F.col("n_points")).otherwise(0)).alias(
+            "stopped_points"
+        ),
+    )

@@ -142,18 +142,27 @@ def changes_at_scale(
     events_per_epoch: int | None = None,
     n_domains: int = 1000,
     payload_repeat: int = 30,
+    id_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Bench-scale change log from ``spark.range`` — no input data, no
     Python, ~1 KB html per event; linear generate cost, embarrassingly
     parallel. Zipf-like domain skew via inverse-CDF over a hash-uniform
     u: ``domain = floor(D * u^4)`` concentrates mass near domain 0
     (hot-domain case the salting path must survive).
+
+    ``id_range``: generate only ids [start, end) — used by the
+    per-epoch provider so every range partition is productive (an
+    epoch filter over the full range leaves (epochs-1)/epochs of the
+    scan partitions empty, silently halving stage parallelism).
     """
     if n_keys is None:
         n_keys = max(1, n_events // 4)
     if events_per_epoch is None:
         events_per_epoch = n_events
-    r = spark.range(n_events)
+    if id_range is None:
+        r = spark.range(n_events)
+    else:
+        r = spark.range(id_range[0], id_range[1])
     key = (F.col("id") % n_keys).alias("key")
     u = (F.pmod(F.xxhash64(key), F.lit(1_000_000)) / 1_000_000.0)
     domain_id = F.floor(F.lit(n_domains) * F.pow(u, F.lit(4.0))).cast("int")
@@ -169,7 +178,15 @@ def changes_at_scale(
         .otherwise(F.lit("U"))
     )
     warc_ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=F.col("id").cast("double"))
-    body = F.repeat(F.md5(F.col("id").cast("string")), payload_repeat)
+    # Payload entropy matters: a single repeated hash compresses ~30x,
+    # which (a) misrepresents web text (gzip on HTML is ~3-5x) and
+    # (b) collapses AQE's compressed-size-based partition coalescing,
+    # strangling post-shuffle parallelism. 8 distinct md5s (256 unique
+    # bytes) repeated to size gives a realistic ~4x ratio.
+    unique_block = F.concat(
+        *[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(8)]
+    )
+    body = F.repeat(unique_block, max(1, payload_repeat // 8))
     title = F.concat(F.lit("Page "), key.cast("string"))
     html = (
         F.when(op == "D", F.lit(None).cast("binary"))
@@ -184,3 +201,27 @@ def changes_at_scale(
         html.alias("html"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def changes_at_scale_provider(
+    spark: SparkSession,
+    n_events: int,
+    events_per_epoch: int,
+    **kw,
+):
+    """Per-epoch generator: each epoch is its own fully-partitioned
+    ``spark.range`` slice (all scan tasks productive — see id_range
+    note on changes_at_scale)."""
+
+    def provide(epoch: int) -> DataFrame:
+        start = epoch * events_per_epoch
+        end = min(n_events, start + events_per_epoch)
+        return changes_at_scale(
+            spark,
+            n_events,
+            events_per_epoch=events_per_epoch,
+            id_range=(start, end),
+            **kw,
+        )
+
+    return provide
