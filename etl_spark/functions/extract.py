@@ -25,9 +25,15 @@ from pyspark.sql import types as T
 
 # Frozen kernel constants — changing any of these breaks the
 # byte-identity invariant; bump engine major version if ever touched.
-# The three structural patterns run as ONE fused alternation (single
-# scan instead of three; alternation order = the original pass order,
-# so outputs are byte-identical — golden tests pin this).
+# The three structural patterns run as ONE fused alternation: a single
+# left-to-right scan, trying script/style subtree, then comment, then
+# bare tag AT EACH POSITION. NOTE this is deliberately NOT equivalent
+# to three sequential global passes: whichever construct opens first
+# wins, so a comment hides a <script> that opens inside it
+# ("a<!--<script>x--></script>b" -> "a b" — the stray </script> is then
+# a bare tag). That left-to-right rule is the frozen definition (it
+# also matches how an HTML tokenizer treats comment content); golden
+# tests pin the overlap case explicitly.
 _RE_MARKUP = re.compile(
     r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]+>"
 )

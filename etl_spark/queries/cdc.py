@@ -228,7 +228,7 @@ def cdc_pages_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CHANGELOG_CTE}, {_FINAL_STATE_CTE}
     SELECT COUNT(*) AS n_pages,
            COUNT(DISTINCT url) AS n_urls,
-           SUM(length(text)) AS total_text_chars,
+           SUM(length(text))::BIGINT AS total_text_chars,
            COUNT(lang) AS n_lang_set
     FROM final_pages
     """,
@@ -256,7 +256,7 @@ def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
            (EXTRACT(year FROM warc_ts)*10000 + EXTRACT(month FROM warc_ts)*100
               + EXTRACT(day FROM warc_ts))::INT AS day_id,
            COUNT(*) AS n_pages,
-           SUM(length(text)) AS text_chars
+           SUM(length(text))::BIGINT AS text_chars
     FROM final_pages
     GROUP BY domain, day_id
     """,

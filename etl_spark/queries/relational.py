@@ -115,7 +115,7 @@ def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT order_month,
            COUNT(*) AS n_active_customers,
-           SUM(n_orders) AS n_orders,
+           SUM(n_orders)::BIGINT AS n_orders,
            CAST(MAX(cust_total) AS DOUBLE) AS max_customer_total
     FROM per_cust GROUP BY order_month
     """,

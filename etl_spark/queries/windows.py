@@ -92,8 +92,8 @@ def sessionized(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -297,7 +297,7 @@ STOP_MIN_DURATION_S = 600  # "for >= 300 s" analog
     SELECT user_id,
            COUNT(CASE WHEN is_stop AND duration_s >= {STOP_MIN_DURATION_S} THEN 1 END) AS n_stopped_segments,
            COUNT(CASE WHEN NOT is_stop THEN 1 END) AS n_moving_segments,
-           SUM(CASE WHEN is_stop AND duration_s >= {STOP_MIN_DURATION_S} THEN n_points ELSE 0 END) AS stopped_points
+           SUM(CASE WHEN is_stop AND duration_s >= {STOP_MIN_DURATION_S} THEN n_points ELSE 0 END)::BIGINT AS stopped_points
     FROM segs GROUP BY user_id
     """,
 )

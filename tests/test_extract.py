@@ -25,6 +25,14 @@ GOLDENS = [
     (b"<p>&amp;lt;</p>", "&lt;"),
     # script with attributes and mixed case
     (b"<SCRIPT type='x'>alert(1)</SCRIPT><p>after</p>", "after"),
+    # comment/script overlap: the kernel is a single left-to-right
+    # alternation scan, so the comment (which opens first) swallows the
+    # <script> opener and the orphan </script> is stripped as a bare tag.
+    # Pins that the fused scan is NOT three sequential global passes.
+    (b"a<!--<script>x--></script>b", "a b"),
+    # and the converse: script opens first, its subtree swallows the
+    # comment opener up to the real close tag.
+    (b"a<script><!--</script>b-->c", "a b-->c"),
 ]
 
 
