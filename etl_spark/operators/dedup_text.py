@@ -59,21 +59,56 @@ def shingle_table(
     return sh.select("doc", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
 
 
+# Default stopword-shingle guard: a shingle appearing in more docs than
+# this joins quadratically (df^2 candidate rows per shingle), so the
+# default is ON — the unguarded form is a latent blow-up at corpus
+# scale. 1000 keeps any one shingle's contribution <= ~10^6 join rows
+# while being far above the doc-frequency of any discriminative shingle.
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
+def dropped_shingle_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_doc_freq: int
+) -> dict:
+    """How much the doc-frequency cap drops (call this next to
+    ngram_jaccard_pairs when you need the truncation surfaced — no
+    silent caps). One small aggregation job; result rows are bounded
+    (2 rows) so the collect is driver-safe."""
+    freq = (
+        shingle_table(df, id_col, text_col, k)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    row = freq.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("df") > max_doc_freq, 1)).alias("dropped"),
+        F.max("df").alias("max_df"),
+    ).first()
+    return {
+        "total_shingles": row.total,
+        "dropped_shingles": row.dropped,
+        "max_doc_freq_seen": row.max_df,
+        "cap": max_doc_freq,
+    }
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 5,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """All (a < b) pairs with shingle-Jaccard >= threshold.
 
     Scale levers: ``max_doc_freq`` drops shingles shared by more than N
     docs (stopword shingles explode the join quadratically at corpus
     scale; dropping them only loses pairs whose *every* shingle is that
-    common). The join itself is equi on the shingle — skew from popular
-    shingles is exactly the hot-key case AQE skew-join + the cap handle.
+    common). DEFAULT ON — pass None explicitly for the exact unguarded
+    form, and use ``dropped_shingle_stats`` to report what the cap
+    removed. The join itself is equi on the shingle — residual skew from
+    sub-cap popular shingles is the hot-key case AQE skew-join handles.
     """
     grams = shingle_table(df, id_col, text_col, k)
     if max_doc_freq is not None:
@@ -155,14 +190,30 @@ def minhash_lsh_pairs(
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = banded.select(F.col("doc").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc").alias("b_id"), "band", "sig")
+    # cands feeds two consumers (the id semi-join below and the verify
+    # join), so persist it — it is tiny (pair ids only) and persisting
+    # stops Spark recomputing the whole shingle->signature->band chain
+    # twice. Without this the plan evaluates the banding join per use.
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .persist()
     )
-    # exact verify on candidates only
-    grams = shingle_table(df, id_col, text_col, k)
+    # exact verify on candidates only: shingle ONLY the candidate docs
+    # (semi-join on the input before exploding) — at corpus scale
+    # candidates << corpus, so the verify stage never re-shingles the
+    # whole table.
+    cand_ids = (
+        cands.select(F.col("a_id").alias("cid"))
+        .unionByName(cands.select(F.col("b_id").alias("cid")))
+        .distinct()
+    )
+    cand_docs = df.join(
+        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    grams = shingle_table(cand_docs, id_col, text_col, k)
     ga = grams.select(F.col("doc").alias("a_id"), F.col("n_grams").alias("a_n"), "gram")
     gb = grams.select(F.col("doc").alias("b_id"), F.col("n_grams").alias("b_n"), "gram")
     common = (

@@ -9,12 +9,13 @@ cell then re-aggregates to the 5 km parent
 partial/final split. Here the partial key is the pages *bucket*: each
 epoch recomputes partial aggregates only for the buckets its merge
 rewrote, and the final (domain, day) numbers are a cheap re-aggregation
-of partials at read time. Epoch cost is therefore proportional to
-touched data, never to table size — the property that survives 10^10
-events. Rollup state is itself bounded (buckets x domains x days), so
-its replace-commit is metadata-cheap; at truly unbounded domain
-cardinality the same partials would be MERGEd per bucket instead of
-replaced wholesale.
+of partials at read time. The rollup table is physically bucketed by
+``src_bucket`` ITSELF (identity, not a hash of the full key), so an
+epoch commit replaces exactly the touched buckets' partial files and
+carries every other bucket forward untouched — epoch cost is
+proportional to touched buckets on the write side too, never to rollup
+state size (buckets x domains x days), the property that survives
+10^10 events with years of days.
 
 Purity: partials are a pure function of the pages snapshot (SURVEY.md
 K5 note: "compute-before-write (preferred: make rollups pure)") —
@@ -70,34 +71,40 @@ def rollup_domain_stats(
     epoch: int,
     touched_buckets: list[int] | None = None,
 ) -> None:
-    """Refresh partials for the buckets the epoch touched."""
+    """Refresh partials for (only) the buckets the epoch touched.
+
+    The commit replaces exactly those rollup buckets (identity
+    bucketing: rollup BUCKET_COL == src_bucket), so untouched partial
+    files carry forward by manifest reference — the same bucket-granular
+    copy-on-write ``merge_epoch`` uses for pages. A touched src_bucket
+    that ends up with zero pages simply writes no partial file and its
+    old entry is dropped from the manifest."""
     if epoch in rollup.applied_epochs():
         return
     if touched_buckets is None:
         touched_buckets = pages.snapshot().summary.get("touched_list")
+    summary = {"operation": "rollup", "epoch": epoch}
     if touched_buckets is None:
         # fall back to full refresh (still pure + idempotent)
         fresh = compute_partials(pages.read(spark, with_bucket=True))
-        keep = None
-    else:
-        if not touched_buckets:
-            rollup.commit(None, applied_epoch=epoch, summary={"operation": "rollup", "epoch": epoch})
-            return
-        fresh = compute_partials(
-            pages.read(spark, buckets=touched_buckets, with_bucket=True)
+        rollup.commit(
+            fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+            overwrite_all=True,
+            applied_epoch=epoch,
+            summary=summary,
         )
-        keep = rollup.read(spark).filter(
-            ~F.col("src_bucket").isin([int(b) for b in touched_buckets])
-        )
-    new_state = fresh if keep is None else keep.unionByName(fresh)
-    from etl_spark.lake.table import bucket_expr
-
-    snap = rollup.snapshot()
+        return
+    if not touched_buckets:
+        rollup.commit(None, applied_epoch=epoch, summary=summary)
+        return
+    fresh = compute_partials(
+        pages.read(spark, buckets=touched_buckets, with_bucket=True)
+    )
     rollup.commit(
-        new_state.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)),
-        overwrite_all=True,
+        fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+        touched_buckets=[int(b) for b in touched_buckets],
         applied_epoch=epoch,
-        summary={"operation": "rollup", "epoch": epoch},
+        summary=summary,
     )
 
 

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         dimensions,
         joins_extra,
+        sequences,
     )
 
     return REGISTRY

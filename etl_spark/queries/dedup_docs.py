@@ -60,11 +60,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_GRAMS_CTE},
+    kept AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(*) <= {D.DEFAULT_MAX_DOC_FREQ}
+    ),
+    capped AS (
+      SELECT g.doc_id, g.n_grams, g.gram FROM grams g JOIN kept USING (gram)
+    ),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              a.n_grams AS a_n, b.n_grams AS b_n,
              COUNT(*) AS n_common
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a_id, b_id, a_n, b_n
     )
     SELECT a_id, b_id, n_common,
@@ -75,8 +82,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-word-shingle Jaccard >= 0.8 pairs via shingle equi-join (the
-    theta-join-to-equi-join rewrite, SURVEY.md J6). Exact — the
-    baseline the MinHash variant approximates."""
+    theta-join-to-equi-join rewrite, SURVEY.md J6) with the default
+    doc-frequency cap on stopword shingles (the oracle replicates the
+    cap, so the guarded plan is what is verified). Exact above the cap —
+    the baseline the MinHash variant approximates."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=JACCARD_THRESHOLD)
 

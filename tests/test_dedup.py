@@ -83,3 +83,47 @@ def test_hot_key_histogram(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     hot = hot_key_histogram(df, ["url"], threshold_rows=10)
     assert hot == [("hot",)]
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs: the stopword-shingle doc-frequency cap
+# ---------------------------------------------------------------------------
+def test_jaccard_doc_freq_cap_drops_stopword_shingles(spark):
+    from etl_spark.operators.dedup_text import (
+        dropped_shingle_stats,
+        ngram_jaccard_pairs,
+    )
+
+    # 6 docs share the same 5-word prefix (a "stopword shingle" with
+    # doc-frequency 6); each has a distinct tail so no pair is a near-dup.
+    common = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{common} tail{i} x{i} y{i} z{i} w{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # cap below the common shingle's df: the quadratic join never sees it
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.05, max_doc_freq=5
+    )
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.05, max_doc_freq=None
+    )
+    assert capped.count() == 0  # only the common shingle linked the docs
+    assert uncapped.count() == 15  # all 6x5/2 pairs via the stopword shingle
+
+    stats = dropped_shingle_stats(df, "doc_id", "text", k=5, max_doc_freq=5)
+    assert stats["dropped_shingles"] == 1  # one distinct shingle over the cap
+    assert stats["max_doc_freq_seen"] == 6
+    assert stats["cap"] == 5
+
+
+def test_jaccard_cap_defaults_on(spark):
+    """The guard must be the default — None is the explicit opt-out."""
+    import inspect
+
+    from etl_spark.operators.dedup_text import (
+        DEFAULT_MAX_DOC_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == DEFAULT_MAX_DOC_FREQ
