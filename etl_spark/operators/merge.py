@@ -167,14 +167,23 @@ def merge_epoch(
 
     delta_present = dlt[f"_d_{key_cols[0]}"].isNotNull()
     current_present = cur[key_cols[0]].isNotNull()
-    # delta wins if no current row, or it is newer-or-equal on the
-    # lexicographic (order_cols) tuple. Stored rows have no seq; compare
-    # on the first order col (warc_ts) only — within-delta ordering
-    # already consumed the tiebreakers.
+    # delta wins if no current row, or it is newer-or-equal on the FULL
+    # lexicographic (order_cols) tuple — the table persists the winning
+    # seq precisely so equal-timestamp arbitration across epochs matches
+    # the global LWW order (warc_ts DESC, seq DESC), not arrival order.
+    # A stored null seq (pre-upgrade rows) compares as -inf, preserving
+    # the old ties-go-to-delta behavior for legacy rows only.
     ts = order_cols[0]
-    delta_wins = delta_present & (
-        ~current_present | (F.col(f"_d_{ts}") >= cur[ts])
-    )
+    payload_names = {f.name for f in schema.fields}
+    tiebreak = order_cols[1] if len(order_cols) > 1 else None
+    if tiebreak is not None and tiebreak in payload_names:
+        cur_tb = F.coalesce(cur[tiebreak], F.lit(-(2**63)).cast("long"))
+        newer = (F.col(f"_d_{ts}") > cur[ts]) | (
+            (F.col(f"_d_{ts}") == cur[ts]) & (F.col(f"_d_{tiebreak}") >= cur_tb)
+        )
+    else:
+        newer = F.col(f"_d_{ts}") >= cur[ts]
+    delta_wins = delta_present & (~current_present | newer)
     keep_delta = delta_wins & (F.col("_d_op") != F.lit("D"))
     keep_current = current_present & ~delta_wins
 

@@ -58,6 +58,10 @@ def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
             pdf[c] = None
         if isinstance(f.dataType, T.TimestampType):
             pdf[c] = pd.to_datetime(pdf[c])
+        elif isinstance(f.dataType, T.LongType):
+            # outer-join NaNs turn int64 into float64; nullable Int64
+            # round-trips to Arrow int64-with-nulls losslessly
+            pdf[c] = pd.to_numeric(pdf[c], errors="coerce").astype("Int64")
     return pdf
 
 
@@ -120,8 +124,10 @@ def make_bucket_merger(
         else:
             cur = pd.DataFrame(columns=payload_cols)
 
-        # 4. arbitration (same rule as the JVM merge: >= lets replays
-        # and equal-ts updates win deterministically).
+        # 4. arbitration (same rule as the JVM merge): delta wins iff no
+        # current row or it is >= on the full lexicographic
+        # (warc_ts, seq) tuple — the stored seq makes equal-ts events in
+        # later epochs arbitrate by global LWW order, not arrival order.
         merged = winners.merge(
             cur[payload_cols] if len(cur) else cur,
             on=key_cols,
@@ -132,8 +138,18 @@ def make_bucket_merger(
         cur_ts = merged.get(f"{ts_col}_cur")
         in_delta = merged["_merge"] != "right_only"
         has_cur = merged["_merge"] != "left_only"
+        tb_col = order_cols[1] if len(order_cols) > 1 else None
+        cur_tb = merged.get(f"{tb_col}_cur") if tb_col else None
         if cur_ts is None:
             delta_wins = in_delta
+        elif cur_tb is not None and tb_col in merged.columns:
+            # stored null seq (pre-upgrade rows) compares as -inf
+            cur_tb_f = pd.to_numeric(cur_tb, errors="coerce").fillna(float(-(2**63)))
+            d_tb = pd.to_numeric(merged[tb_col], errors="coerce")
+            newer = (merged[ts_col] > cur_ts) | (
+                (merged[ts_col] == cur_ts) & (d_tb >= cur_tb_f)
+            )
+            delta_wins = in_delta & (~has_cur | newer)
         else:
             delta_wins = in_delta & (~has_cur | (merged[ts_col] >= cur_ts))
         is_delete = merged[OP_COL].eq("D") if OP_COL in merged.columns else False

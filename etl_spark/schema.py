@@ -19,6 +19,13 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
+        # the winning event's change-log seq: persisted so CROSS-epoch
+        # arbitration can compare the full lexicographic (warc_ts, seq)
+        # order tuple, not warc_ts alone — an equal-timestamp event in a
+        # later epoch must still lose to a higher-seq stored row (the
+        # global-LWW oracle's ORDER BY warc_ts DESC, seq DESC). Null on
+        # rows written before this column existed (treated as -inf).
+        T.StructField("seq", T.LongType(), True),
     ]
 )
 

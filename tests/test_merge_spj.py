@@ -80,3 +80,42 @@ def test_spj_hot_path_matches(spark, tmp_path):
         spark, wh_hot, prov, range(3), with_rollup=False, hot_threshold=1
     )
     assert _state(spark, wh_hot) == _state(spark, wh_cold)
+
+
+@pytest.mark.parametrize("strategy", ["classic", "spj"])
+def test_equal_ts_cross_epoch_arbitrates_by_seq(spark, tmp_path, strategy):
+    """An equal-timestamp event arriving in a LATER epoch with a LOWER
+    seq must lose to the stored row — the global LWW order is the
+    lexicographic (warc_ts, seq) tuple, not arrival order. The stored
+    seq column exists precisely for this."""
+    from etl_spark.pipeline import ingest_epoch
+
+    wh = Warehouse.init(str(tmp_path / f"wh_{strategy}"), n_buckets=2)
+    ts = "2024-01-01 00:00:00"
+    schema = (
+        "seq long, epoch long, op string, url string, warc_ts string, "
+        "html binary, lang string"
+    )
+    url = "https://a.example/tie"
+    e0 = spark.createDataFrame(
+        [(10, 0, "I", url, ts, b"<p>winner seq10</p>", None)], schema
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    # same warc_ts, lower seq, later epoch: must NOT overwrite
+    e1 = spark.createDataFrame(
+        [(7, 1, "U", url, ts, b"<p>stale seq7</p>", None)], schema
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    # same warc_ts, higher seq, later epoch: MUST overwrite
+    e2 = spark.createDataFrame(
+        [(12, 2, "U", url, ts, b"<p>winner seq12</p>", None)], schema
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    ingest_epoch(spark, wh, e0, 0, strategy=strategy, with_rollup=False)
+    ingest_epoch(spark, wh, e1, 1, strategy=strategy, with_rollup=False)
+    row = wh.pages.read(spark).collect()[0]
+    assert row.text == "winner seq10"
+    assert row.seq == 10
+
+    ingest_epoch(spark, wh, e2, 2, strategy=strategy, with_rollup=False)
+    row = wh.pages.read(spark).collect()[0]
+    assert row.text == "winner seq12"
+    assert row.seq == 12
