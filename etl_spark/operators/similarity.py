@@ -157,6 +157,90 @@ def partitioned_topk(
     )
 
 
+def _sq_dist_to_literal(vec: F.Column, centroid: list[float]) -> F.Column:
+    """Σ_i (v[i]-c[i])^2 as a deterministic left fold (index order) —
+    the same operation order as the oracle's list_sum(list_transform)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = DIM,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd k-means coarse quantizer: returns
+    ``(assignments(id, cell), final_centroids)``.
+
+    Every step is replay-stable and engine-portable so the IVF index has
+    an exact SQL oracle twin:
+      * init: the k lowest-id vectors (cell = rank-1) — no RNG;
+      * assignment: argmin of squared L2, first-lowest-cell tiebreak;
+      * update: per-dim mean where the summation order is pinned to
+        ascending id (ordered fold over array_sort(collect_list)) —
+        double addition is not associative, so an unordered SUM would
+        diverge bit-wise between engines and between replays.
+
+    The per-iteration ``collect`` is k centroid rows — bounded driver
+    state, the same reduce shape MLlib's k-means uses. At 100 TB: run
+    the same loop on a deterministic sample (id-hash filter), then one
+    assignment pass over the corpus writes the cell column that becomes
+    the Iceberg partition; from there probes are file-pruned joins.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    init = v.orderBy("vid").limit(k).collect()
+    # (cell_id, vector) pairs, always ascending cell_id: a cell that
+    # empties mid-iteration disappears but the surviving ids are stable,
+    # matching the SQL twin's GROUP BY cell exactly.
+    centroids: list[tuple[int, list[float]]] = [
+        (i, list(r.e)) for i, r in enumerate(init)
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[_sq_dist_to_literal(F.col("e"), c) for _, c in centroids]
+        )
+        cells = F.array(*[F.lit(cid) for cid, _ in centroids])
+        # first position of the minimum -> lowest cell id wins ties
+        return frame.withColumn(
+            "cell",
+            F.element_at(cells, F.array_position(dists, F.array_min(dists)).cast("int")),
+        )
+
+    for _ in range(iters):
+        assigned = assign(v)
+        sorted_members = F.array_sort(
+            F.collect_list(F.struct(F.col("vid"), F.col("e")))
+        )
+        centroid_expr = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.aggregate(
+                F.col("members"),
+                F.lit(0.0),
+                lambda acc, s: acc + F.element_at(s["e"], i),
+            )
+            / F.size(F.col("members")),
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(sorted_members.alias("members"))
+            .select("cell", centroid_expr.alias("ce"))
+            .collect()
+        )
+        centroids = sorted((int(r.cell), list(r.ce)) for r in rows)
+
+    return assign(v).select(F.col("vid"), "cell"), [c for _, c in centroids]
+
+
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
     """±1 hyperplanes from md5(plane|coord) parity — deterministic,
     engine-independent constants (the oracle SQL embeds the same

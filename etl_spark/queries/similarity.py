@@ -66,14 +66,72 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF with LEARNED centroids: deterministic Lloyd k-means (k=8, 2
+# iterations, lowest-id init, id-ordered mean folds) builds the coarse
+# quantizer; search probes only the query's cell. The oracle re-derives
+# the identical centroids in SQL CTE algebra — every float op (squared
+# L2 fold, ordered mean, cosine) uses the same operation order, so the
+# learned index itself is oracle-checked, not just the final ranking.
+# ---------------------------------------------------------------------------
+IVF_K = 8
+IVF_ITERS = 2
+
+_SQDIST = """
+             list_sum(list_transform(range(1, 65),
+               i -> (p.e[i] - c.ce[i]) * (p.e[i] - c.ce[i])))
+"""
+
+
+def _assign_cte(points: str, cents: str, out: str) -> str:
+    """argmin-of-squared-L2 assignment with lowest-cell tiebreak."""
+    return f"""
+    {out}_scored AS (
+      SELECT p.vec_id, p.e, c.cell, {_SQDIST} AS dist
+      FROM {points} p CROSS JOIN {cents} c
+    ),
+    {out} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM {out}_scored
+      ) WHERE rn = 1
+    )"""
+
+
+def _update_cte(assigned: str, out: str) -> str:
+    """Per-dim mean with the summation order pinned to ascending vec_id
+    (double addition is not associative; an unordered SUM would diverge
+    from the engine bit-wise)."""
+    return f"""
+    {out} AS (
+      SELECT cell,
+             list_transform(range(1, 65),
+               i -> list_sum(list_transform(vl, x -> x[i])) / len(vl)) AS ce
+      FROM (
+        SELECT cell, array_agg(e ORDER BY vec_id) AS vl
+        FROM {assigned} GROUP BY cell
+      )
+    )"""
+
+
 @query(
-    "ann_partitioned_topk",
+    "ann_ivf_topk",
     oracle=f"""
     WITH {_V_CTE},
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, e AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    {_assign_cte("v", "c0", "a0")},
+    {_update_cte("a0", "c1")},
+    {_assign_cte("v", "c1", "a1")},
+    {_update_cte("a1", "c2")},
+    {_assign_cte("v", "c2", "a2")},
     scored AS (
-      SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS cand_id,
+      SELECT q.vec_id AS query_id, q.cell, c.vec_id AS cand_id,
              {_COS} AS cos_raw
-      FROM v q JOIN v c ON q.label = c.label
+      FROM a2 q JOIN a2 c ON q.cell = c.cell
        AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
     ),
     ranked AS (
@@ -86,14 +144,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 5
     """,
 )
-def ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-shaped search: the label column plays the coarse-quantizer
-    cell; only the query's cell is probed (equi-join instead of cross
-    join — candidate count / partition fan-out). At corpus scale the
-    cells are Iceberg bucket partitions and the probe is file-pruned."""
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a LEARNED coarse quantizer (deterministic Lloyd,
+    operators/similarity.kmeans_cells); only the query's cell is probed
+    (equi-join instead of cross join — candidate count / cell fan-out).
+    At corpus scale: learn on a deterministic sample, one assignment
+    pass writes the cell column, cells become Iceberg partitions, and
+    probes are file-pruned joins (probe-adjacent-cells is the recall
+    knob, same plan shape with IN (cells))."""
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < N_QUERIES)
-    return S.partitioned_topk(queries, e, "vec_id", "embedding", "label", k=5)
+    cells, _ = S.kmeans_cells(
+        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS
+    )
+    with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
+    queries = with_cells.filter(F.col("vec_id") < N_QUERIES)
+    return S.partitioned_topk(
+        queries, with_cells, "vec_id", "embedding", "cell", k=5
+    )
 
 
 # ---------------------------------------------------------------------------

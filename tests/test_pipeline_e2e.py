@@ -209,3 +209,43 @@ def test_rollup_commit_is_bucket_granular(spark, tmp_wh):
         .collect()
     }
     assert roll == direct
+
+
+def test_schema_removal_and_rename_are_additive_only(spark, tmp_wh):
+    """Pin the non-additive cases the north rule leaves out: a delta
+    that DROPS a column does not remove it from the table (a winning
+    full-row replace writes null there), and a RENAME is just an add —
+    the old column stays, new rows carry null in it. Additive-only,
+    explicitly."""
+    from etl_spark.pipeline import ingest_epoch
+
+    wh = Warehouse.init(tmp_wh, n_buckets=2)
+    url = "https://a.example/evo"
+    base = "seq long, epoch long, op string, url string, warc_ts string, html binary"
+    with_lang = base + ", lang string"
+    with_language = base + ", language string"
+
+    e0 = spark.createDataFrame(
+        [(1, 0, "I", url, "2024-01-01 00:00:00", b"<p>v0</p>", "en")], with_lang
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    ingest_epoch(spark, wh, e0, 0, with_rollup=False)
+    assert "lang" in wh.pages.read(spark).columns
+
+    # delta WITHOUT lang: column survives, winning row nulls it
+    e1 = spark.createDataFrame(
+        [(2, 1, "U", url, "2024-01-02 00:00:00", b"<p>v1</p>")], base
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    ingest_epoch(spark, wh, e1, 1, with_rollup=False)
+    row = wh.pages.read(spark).collect()[0]
+    assert "lang" in wh.pages.read(spark).columns
+    assert row.lang is None and row.text == "v1"
+
+    # delta with RENAMED column: additive add; old column remains
+    e2 = spark.createDataFrame(
+        [(3, 2, "U", url, "2024-01-03 00:00:00", b"<p>v2</p>", "de")], with_language
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    ingest_epoch(spark, wh, e2, 2, with_rollup=False)
+    cols = wh.pages.read(spark).columns
+    assert "lang" in cols and "language" in cols
+    row = wh.pages.read(spark).collect()[0]
+    assert row.language == "de" and row.lang is None and row.text == "v2"
