@@ -84,18 +84,34 @@ def worker(cpus: int, events: int, n_buckets: int, epochs: int) -> None:
         shutil.rmtree(local_dir, ignore_errors=True)
 
 
-def _one_run(cpus: int, events: int, n_buckets: int, epochs: int) -> float:
+def _one_run(
+    cpus: int, events: int, n_buckets: int, epochs: int, pin: bool
+) -> float:
+    """One fresh-JVM measurement at ``cpus`` parallelism.
+
+    With ``pin`` the whole worker process tree is confined to exactly
+    ``cpus`` hardware threads via ``taskset``. Without pinning,
+    ``local[N]`` only caps Spark *task* slots — JVM GC/JIT/netty
+    threads, Python workers, and Arrow serialization still borrow the
+    machine's idle cores, which inflates the small level's throughput
+    and understates scaling efficiency. A real N-executor cluster gives
+    each executor a hard core allocation; ``taskset`` is the faithful
+    sandbox emulation of that (Java 17 sizes availableProcessors and GC
+    threads from the affinity mask)."""
+    cmd = [
+        sys.executable,
+        "-m",
+        "bench.scaling",
+        "--worker",
+        f"--cpus={cpus}",
+        f"--events={events}",
+        f"--buckets={n_buckets}",
+        f"--epochs={epochs}",
+    ]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     out = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "bench.scaling",
-            "--worker",
-            f"--cpus={cpus}",
-            f"--events={events}",
-            f"--buckets={n_buckets}",
-            f"--epochs={epochs}",
-        ],
+        cmd,
         cwd=REPO,
         capture_output=True,
         text=True,
@@ -105,17 +121,18 @@ def _one_run(cpus: int, events: int, n_buckets: int, epochs: int) -> float:
 
 
 def measure_interleaved(
-    levels: list[int], events: int, n_buckets: int, epochs: int, runs: int
+    levels: list[int], events: int, n_buckets: int, epochs: int, runs: int,
+    pin: bool,
 ) -> dict[int, dict]:
     """1 warm-up per level, then timed samples taken ALTERNATING between
     levels — decorrelates slow machine-level drift (page cache, noisy
     neighbors) from the N-vs-4N comparison."""
     for cpus in levels:
-        _one_run(cpus, events, n_buckets, epochs)  # warm-up, discarded
+        _one_run(cpus, events, n_buckets, epochs, pin)  # warm-up, discarded
     samples: dict[int, list[float]] = {c: [] for c in levels}
     for _ in range(runs):
         for cpus in levels:
-            samples[cpus].append(_one_run(cpus, events, n_buckets, epochs))
+            samples[cpus].append(_one_run(cpus, events, n_buckets, epochs, pin))
     return {
         cpus: {
             "cpus": cpus,
@@ -140,14 +157,22 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--n", type=int, default=8, help="small level N (large is 4N)")
     p.add_argument("--runs", type=int, default=3)
+    p.add_argument(
+        "--no-pin",
+        action="store_true",
+        help="skip taskset CPU pinning (pinning is the default: it is what "
+        "makes 'N cores' a hard allocation like an N-executor cluster)",
+    )
     args = p.parse_args()
 
     if args.worker:
         worker(args.cpus, args.events, args.buckets, args.epochs)
         return
 
+    pin = not args.no_pin
     levels = measure_interleaved(
-        [args.n, 4 * args.n], args.events, args.buckets, args.epochs, args.runs
+        [args.n, 4 * args.n], args.events, args.buckets, args.epochs, args.runs,
+        pin,
     )
     small, large = levels[args.n], levels[4 * args.n]
     eff_median = large["events_per_sec_median"] / (4 * small["events_per_sec_median"])
@@ -161,6 +186,7 @@ def main() -> None:
         "events": args.events,
         "n_buckets": args.buckets,
         "epochs": args.epochs,
+        "cpu_pinned": pin,
         "N": small,
         "4N": large,
         "scaling_efficiency_median": round(eff_median, 3),

@@ -31,7 +31,15 @@ class CleanResult:
 
 def clean_changes(changes: DataFrame) -> DataFrame:
     """Single Catalyst filter chain; no UDFs, fully pushed down."""
-    has_lang = "lang" in changes.columns
+    # sentinel normalization only applies to a STRING lang: a delta
+    # arriving with a drifted type (e.g. lang as bigint) must not make
+    # the ANSI-mode isin() cast 'Unknown' to a number and explode — the
+    # drifted values pass through here and are cast to the table's
+    # authoritative type at merge (align_to_schema).
+    has_lang = any(
+        f.name == "lang" and f.dataType.simpleString() == "string"
+        for f in changes.schema.fields
+    )
     url = F.col("url")
     df = changes.filter(
         F.col("op").isin(*VALID_OPS)

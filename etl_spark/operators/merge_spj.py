@@ -39,6 +39,7 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark.functions.extract import extract_text_series
@@ -67,20 +68,30 @@ def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
 
 def make_bucket_merger(
     root: str,
-    files_by_bucket: dict[str, list[str]],
+    files_by_bucket,
     schema: T.StructType,
     key_cols: list[str],
     order_cols: list[str],
     extracted: bool,
 ):
-    """Build the grouped-map kernel (a closure over the snapshot's
-    per-bucket file lists — the manifest is small and broadcast with
-    the task)."""
+    """Build the grouped-map kernel.
+
+    ``files_by_bucket`` is either a plain dict (tests) or a Spark
+    Broadcast of one (the pipeline path): a torrent-distributed
+    broadcast ships the manifest to each executor ONCE instead of
+    serializing it into every task closure — the difference between
+    O(tasks x manifest) and O(executors x manifest) bytes when the
+    table has millions of bucket-file entries."""
     payload_cols = [f.name for f in schema.fields]
     out_cols = payload_cols + [BUCKET_COL]
     ts_col = order_cols[0]
 
     def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        files_map = (
+            files_by_bucket.value
+            if hasattr(files_by_bucket, "value")
+            else files_by_bucket
+        )
         if pdf.empty:
             return pd.DataFrame(columns=out_cols)
         bucket = int(pdf[BUCKET_COL].iloc[0])
@@ -101,7 +112,7 @@ def make_bucket_merger(
                 winners[c] = None
 
         # 3. executor-local read of the bucket's current rows.
-        paths = files_by_bucket.get(str(bucket), [])
+        paths = files_map.get(str(bucket), [])
         if paths:
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -226,13 +237,26 @@ def merge_epoch_spj(
         # bound any pandas group: pre-reduce the hot key across salts
         delta = salted_lww_dedup(delta, key_cols, order_cols, n_salts=n_salts)
 
+    # Existing payload columns cast to the table's authoritative types
+    # JVM-side (the classic path's align_to_schema contract): type
+    # drift in the delta (e.g. lang arriving as bigint) must never
+    # reach the Arrow kernel, where a dtype/schema mismatch fails
+    # serialization instead of casting.
+    table_types = {f.name: f.dataType for f in schema.fields}
+    delta = delta.select(
+        [
+            F.col(c).cast(table_types[c]).alias(c) if c in table_types else F.col(c)
+            for c in delta.columns
+        ]
+    )
     bucketed = delta.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
     out_schema = T.StructType(
         schema.fields + [T.StructField(BUCKET_COL, T.IntegerType(), False)]
     )
+    touched_files = {b: snap.files.get(str(b), []) for b in map(str, touched)}
     kernel = make_bucket_merger(
         table.root,
-        {b: snap.files.get(str(b), []) for b in map(str, touched)},
+        spark.sparkContext.broadcast(touched_files),
         schema,
         key_cols,
         order_cols,

@@ -127,3 +127,29 @@ def test_jaccard_cap_defaults_on(spark):
 
     sig = inspect.signature(ngram_jaccard_pairs)
     assert sig.parameters["max_doc_freq"].default == DEFAULT_MAX_DOC_FREQ
+
+
+# ---------------------------------------------------------------------------
+# kmeans_cells: the learned IVF coarse quantizer
+# ---------------------------------------------------------------------------
+def test_kmeans_cells_deterministic_and_stable(spark):
+    from etl_spark.operators.similarity import kmeans_cells
+
+    rows = []
+    for i in range(40):
+        # two obvious blobs in 64-d: first 32 dims high vs last 32 high
+        base = [5.0, 0.0] if i % 2 == 0 else [0.0, 5.0]
+        vec = [base[0] + (i % 7) * 0.01] * 32 + [base[1] + (i % 5) * 0.01] * 32
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    a1, c1 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
+    a2, c2 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
+    m1 = {r.vid: r.cell for r in a1.collect()}
+    m2 = {r.vid: r.cell for r in a2.collect()}
+    assert m1 == m2  # replay-deterministic
+    assert c1 == c2  # bit-identical centroids
+    # the two blobs never share a cell
+    even_cells = {m1[i] for i in range(0, 40, 2)}
+    odd_cells = {m1[i] for i in range(1, 40, 2)}
+    assert even_cells.isdisjoint(odd_cells)
