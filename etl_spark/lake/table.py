@@ -60,6 +60,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
+# Tombstone control column (see etl_spark/schema.py PAGES_SCHEMA): rows
+# with _deleted=true are retained delete markers, hidden from default
+# reads, arbitrated like live rows by MERGE, GC'd by expire_tombstones.
+DELETED_COL = "_deleted"
 _PARTITION_DIR_COL = "_pb"  # directory-layout twin of BUCKET_COL
 
 
@@ -214,12 +218,19 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         version: int | None = None,
         with_bucket: bool = False,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Snapshot read; optional bucket pruning via explicit file list.
 
         Old files missing later-added columns read as null (additive
         schema evolution — the explicit read schema fills the gap,
         no mergeSchema full-footer scan needed).
+
+        Tables carrying the tombstone column hide delete markers by
+        default; ``include_deleted`` exposes them (the MERGE current-side
+        read and maintenance need the markers to arbitrate/GC). The
+        filter is a pure Catalyst predicate, so it pushes into the
+        parquet scan.
         """
         snap = self.snapshot(version)
         schema = snap.schema
@@ -236,6 +247,13 @@ class LakeTable:
             df = spark.read.schema(read_schema).parquet(
                 *[os.path.join(self.root, p) for p in paths]
             )
+        has_tomb = any(f.name == DELETED_COL for f in schema.fields)
+        if has_tomb and not include_deleted:
+            # IsNull-OR-EqualTo (not ~coalesce) so the predicate stays
+            # parquet-pushable: tombstone-heavy row groups skip on stats.
+            df = df.filter(
+                F.col(DELETED_COL).isNull() | (F.col(DELETED_COL) == F.lit(False))
+            ).drop(DELETED_COL)
         if not with_bucket:
             df = df.drop(BUCKET_COL)
         return df
@@ -404,3 +422,64 @@ class LakeTable:
             os.remove(self._snap_path(v))
             removed.append(v)
         return removed
+
+    def compact_files(self, spark: SparkSession, max_files: int = 64) -> Snapshot:
+        """Rewrite the table into <= ``max_files`` per-bucket files when
+        fragmentation exceeds that (the append path adds one file set
+        per epoch: at 10^5 epochs an audit table is 10^5 tiny files and
+        every scan pays per-file open cost — Iceberg's rewrite_data_files
+        analog). Bucket layout is preserved (rows rebucket by key), the
+        commit is a normal snapshot (rollback-able), and it is a no-op
+        below the threshold so it can run after every N epochs."""
+        snap = self.snapshot()
+        n_files = sum(len(p) for p in snap.files.values())
+        if n_files <= max_files:
+            return snap
+        df = self.read(spark, with_bucket=False, include_deleted=True)
+        df = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        return self.commit(
+            df,
+            overwrite_all=True,
+            # NOT already-partitioned: the repartition(BUCKET_COL) inside
+            # _write_data is what collapses each bucket to one file.
+            summary={"operation": "compact_files", "was_files": n_files},
+        )
+
+    def expire_tombstones(self, spark: SparkSession, older_than) -> Snapshot:
+        """Drop delete markers whose ``warc_ts`` is older than the
+        stream's late-event horizon (a timestamp or literal string).
+
+        Past the horizon no event older than the marker can still
+        arrive, so the marker is dead weight — dropping it bounds
+        retained tombstone state by delete-rate x horizon instead of
+        full delete history (Iceberg's delete-file compaction analog,
+        same role as the reference's day-partition DELETE cleanups).
+        Bucket-granular: only buckets holding expirable markers are
+        rewritten; the commit is a normal snapshot (rollback-able), not
+        an epoch, so replay bookkeeping is untouched.
+        """
+        snap = self.snapshot()
+        if not any(f.name == DELETED_COL for f in snap.schema.fields):
+            return snap
+        horizon = F.to_timestamp(F.lit(older_than)) if isinstance(older_than, str) else F.lit(older_than)
+        is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col("warc_ts") < horizon
+        )
+        all_rows = self.read(spark, with_bucket=True, include_deleted=True)
+        touched = [
+            int(r[0])
+            for r in all_rows.filter(is_dead).select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return snap
+        survivors = self.read(
+            spark, buckets=touched, with_bucket=True, include_deleted=True
+        ).filter(~is_dead)
+        return self.commit(
+            survivors,
+            touched_buckets=touched,
+            summary={
+                "operation": "expire_tombstones",
+                "buckets": len(touched),
+            },
+        )

@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_spark.lake.table import BUCKET_COL, LakeTable, Snapshot, bucket_expr
+from etl_spark.lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    LakeTable,
+    Snapshot,
+    bucket_expr,
+)
 from etl_spark.operators.dedup import adaptive_lww_dedup
 
 OP_COL = "op"
@@ -146,8 +152,11 @@ def merge_epoch(
         )
         return MergeStats(epoch, False, 0, 0, head.version)
 
-    # 2. bucket-pruned current state.
-    current = table.read(spark, buckets=touched, with_bucket=True)
+    # 2. bucket-pruned current state — WITH tombstones: a stored delete
+    # marker must out-arbitrate any late (older) event for its key.
+    current = table.read(
+        spark, buckets=touched, with_bucket=True, include_deleted=True
+    )
 
     # 3. full-outer on key; versioned-winner arbitration.
     payload_cols = [f.name for f in schema.fields]
@@ -184,13 +193,34 @@ def merge_epoch(
     else:
         newer = F.col(f"_d_{ts}") >= cur[ts]
     delta_wins = delta_present & (~current_present | newer)
-    keep_delta = delta_wins & (F.col("_d_op") != F.lit("D"))
+    is_d = F.col("_d_op") == F.lit("D")
+    tombstoning = DELETED_COL in payload_names
+    if tombstoning:
+        # winning deletes persist as tombstone rows (keys + order tuple,
+        # payload nulls, _deleted=true) so late older events in future
+        # epochs still lose arbitration — see schema.py PAGES_SCHEMA.
+        keep_delta = delta_wins
+    else:  # legacy tables without the column: drop on delete
+        keep_delta = delta_wins & ~is_d
     keep_current = current_present & ~delta_wins
 
-    out_cols = [
-        F.when(keep_delta, F.col(f"_d_{c}")).otherwise(cur[c]).alias(c)
-        for c in payload_cols
-    ]
+    preserve = set(key_cols) | set(order_cols)
+    out_cols = []
+    for f in schema.fields:
+        c = f.name
+        if c == DELETED_COL:
+            e = F.when(delta_wins, is_d).otherwise(
+                F.coalesce(cur[c], F.lit(False))
+            )
+        elif tombstoning and c not in preserve:
+            e = (
+                F.when(delta_wins & is_d, F.lit(None).cast(f.dataType))
+                .when(delta_wins, F.col(f"_d_{c}"))
+                .otherwise(cur[c])
+            )
+        else:
+            e = F.when(keep_delta, F.col(f"_d_{c}")).otherwise(cur[c])
+        out_cols.append(e.alias(c))
     merged = (
         joined.filter(keep_delta | keep_current)
         .select(*out_cols)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark.functions.extract import extract_text_series
-from etl_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from etl_spark.lake.table import BUCKET_COL, DELETED_COL, LakeTable, bucket_expr
 from etl_spark.operators.dedup import salted_lww_dedup
 from etl_spark.operators.merge import MergeStats, evolve_for_delta
 
@@ -63,6 +63,13 @@ def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
             # outer-join NaNs turn int64 into float64; nullable Int64
             # round-trips to Arrow int64-with-nulls losslessly
             pdf[c] = pd.to_numeric(pdf[c], errors="coerce").astype("Int64")
+        elif isinstance(f.dataType, T.BooleanType):
+            # null tombstone flag (pre-column files) means live
+            pdf[c] = (
+                pdf[c].map(lambda v: bool(v) if pd.notna(v) else False)
+                if len(pdf)
+                else pdf[c].astype(bool)
+            )
     return pdf
 
 
@@ -163,13 +170,30 @@ def make_bucket_merger(
             delta_wins = in_delta & (~has_cur | newer)
         else:
             delta_wins = in_delta & (~has_cur | (merged[ts_col] >= cur_ts))
-        is_delete = merged[OP_COL].eq("D") if OP_COL in merged.columns else False
-        keep_delta = delta_wins & ~is_delete
+        if OP_COL in merged.columns:
+            is_delete = merged[OP_COL].eq("D")
+        else:
+            is_delete = pd.Series(False, index=merged.index)
+        tombstoning = DELETED_COL in payload_cols
+        if tombstoning:
+            # a winning delete persists as a tombstone row: keys +
+            # order tuple survive (future arbitration), payload nulls.
+            keep_delta = delta_wins
+        else:  # legacy tables without the column: drop on delete
+            keep_delta = delta_wins & ~is_delete
         keep_cur = has_cur & ~delta_wins
 
         parts = []
         if keep_delta.any():
-            parts.append(merged.loc[keep_delta, payload_cols])
+            dv = merged.loc[keep_delta, payload_cols].copy()
+            if tombstoning:
+                tomb = is_delete.loc[keep_delta]
+                preserve = set(key_cols) | set(order_cols) | {DELETED_COL}
+                for c in payload_cols:
+                    if c not in preserve:
+                        dv.loc[tomb, c] = None
+                dv[DELETED_COL] = tomb.to_numpy()
+            parts.append(dv)
         if keep_cur.any():
             cur_view = merged.loc[keep_cur].copy()
             for c in payload_cols:

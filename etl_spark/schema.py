@@ -26,6 +26,16 @@ PAGES_SCHEMA = T.StructType(
         # global-LWW oracle's ORDER BY warc_ts DESC, seq DESC). Null on
         # rows written before this column existed (treated as -inf).
         T.StructField("seq", T.LongType(), True),
+        # Tombstone flag: a winning delete persists as a row carrying
+        # (url, warc_ts, seq, _deleted=true) and null payload. Without
+        # it, a LATE event (older warc_ts) for a deleted key arriving in
+        # a later epoch has no stored state to arbitrate against and
+        # resurrects the row — replay would then diverge from the
+        # global-LWW fold. Reads filter tombstones by default
+        # (LakeTable.read); expire_tombstones GC-drops them once the
+        # stream's late-event horizon has passed, so retained state is
+        # bounded by delete-rate x horizon, never by history.
+        T.StructField("_deleted", T.BooleanType(), True),
     ]
 )
 

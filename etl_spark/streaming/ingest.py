@@ -20,7 +20,9 @@ as ``readStream -> foreachBatch -> exactly-once sink``:
 
 Late data: the LWW merge makes row-level lateness a non-event (an
 older (url, warc_ts) simply loses the merge, whatever batch it arrives
-in) — the engine needs no watermark for correctness. The windowed
+in — deletes included, since a winning delete persists as a tombstone
+the late event still arbitrates against) — the engine needs no
+watermark for correctness. The windowed
 rollup below shows the watermarked-aggregation form for derived
 streaming aggregates where state must be bounded.
 """

@@ -101,3 +101,30 @@ def test_expire_snapshots_keeps_head_readable(spark, tmp_wh):
     removed = t.expire_snapshots(keep_last=2)
     assert removed
     assert t.read(spark).count() == 4
+
+
+def test_compact_files_collapses_append_fragmentation(spark, tmp_wh):
+    """Per-epoch appends fragment the table (one file set per append);
+    compact_files rewrites to <= one file per bucket, preserves every
+    row, stays a no-op below the threshold, and remains rollback-able."""
+    t = LakeTable.create(os.path.join(tmp_wh, "t"), SCHEMA, ["k"], 4)
+    for i in range(12):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    snap = t.snapshot()
+    n_before = sum(len(p) for p in snap.files.values())
+    assert n_before >= 12
+    v_before = t.head_version()
+
+    compacted = t.compact_files(spark, max_files=4)
+    n_after = sum(len(p) for p in compacted.files.values())
+    assert n_after <= 4
+    assert t.read(spark).count() == 12
+    assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+        f"k{i}" for i in range(12)
+    )
+    # below threshold: no-op (same snapshot version back)
+    again = t.compact_files(spark, max_files=64)
+    assert again.version == compacted.version
+    # a maintenance commit is rollback-able like any other
+    t.rollback(v_before)
+    assert t.read(spark).count() == 12

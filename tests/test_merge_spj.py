@@ -36,8 +36,9 @@ def test_spj_equals_classic(spark, tmp_path):
 
 
 def test_spj_delete_empties_bucket(spark, tmp_path):
-    """All keys of a bucket deleted -> the bucket's files must be
-    dropped from the manifest (the touched-list contract)."""
+    """All keys deleted -> zero visible rows, tombstone markers retained
+    for late-event arbitration, and expire_tombstones past the horizon
+    drops the buckets' files from the manifest entirely."""
     from etl_spark import schema as S
 
     wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
@@ -63,9 +64,17 @@ def test_spj_delete_empties_bucket(spark, tmp_path):
     assert wh.pages.row_count(spark) == 2
     ingest_epoch(spark, wh, lambda e: dels, 1, with_rollup=False, strategy="spj")
     assert wh.pages.row_count(spark) == 0
-    # manifest must not carry stale files for the emptied buckets
+    # delete markers retained (hidden) so late older events cannot resurrect
+    tombs = wh.pages.read(spark, include_deleted=True).collect()
+    assert len(tombs) == 2 and all(t._deleted for t in tombs)
+    assert all(t.html is None and t.text is None for t in tombs)
+    # GC past the late-event horizon drops the markers AND the files
+    wh.pages.expire_tombstones(spark, "2030-01-01 00:00:00")
+    assert wh.pages.read(spark, include_deleted=True).count() == 0
     snap = wh.pages.snapshot()
     assert all(not paths for paths in snap.files.values())
+    # GC is not an epoch: replay bookkeeping untouched
+    assert wh.pages.applied_epochs() == {0, 1}
 
 
 def test_spj_hot_path_matches(spark, tmp_path):
