@@ -134,6 +134,35 @@ def main() -> None:
             if not ok:
                 failures.append(f"{name}: scan of {rel} not pruned to [{cols}]; got {got}")
 
+    # tombstone-read pushdown: the default pages read must push its
+    # visibility predicate into the parquet scan (IsNull OR EqualTo —
+    # NOT a coalesce, which parquet cannot evaluate on row-group stats).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.pipeline import Warehouse, ingest_epoch
+
+    ts_root = tempfile.mkdtemp(prefix="audit_tomb_")
+    wh = Warehouse.init(os.path.join(ts_root, "wh"), n_buckets=2)
+    ev = spark.createDataFrame(
+        [
+            (1, 0, "I", "https://a.example/1", "2024-01-01 00:00:00", b"<p>x</p>", None),
+            (2, 0, "D", "https://a.example/2", "2024-01-01 00:00:00", None, None),
+        ],
+        "seq long, epoch long, op string, url string, warc_ts string, html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    ingest_epoch(spark, wh, ev, 0, with_rollup=False, with_lineage=False)
+    plan = formatted_plan(wh.pages.read(spark))
+    report += ["## tombstone_read_pushdown", "", "```", plan.strip(), "```", ""]
+    if "PushedFilters" not in plan or "_deleted" not in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]:
+        failures.append(
+            "tombstone read: _deleted visibility predicate not pushed to scan"
+        )
+    import shutil
+
+    shutil.rmtree(ts_root, ignore_errors=True)
+
     if args.out:
         with open(args.out, "w") as fh:
             fh.write("\n".join(report))
