@@ -309,6 +309,7 @@ class LakeTable:
         summary: dict | None = None,
         overwrite_all: bool = False,
         already_bucket_partitioned: bool = False,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         """Write ``new_data`` (with BUCKET_COL) and commit a snapshot.
 
@@ -342,7 +343,7 @@ class LakeTable:
             parent=head.version,
             schema_json=json.dumps((schema or head.schema).jsonValue()),
             key_cols=head.key_cols,
-            n_buckets=head.n_buckets,
+            n_buckets=n_buckets or head.n_buckets,
             files=files,
             applied_epochs=sorted(epochs),
             summary=summary or {},
@@ -423,26 +424,79 @@ class LakeTable:
             removed.append(v)
         return removed
 
-    def compact_files(self, spark: SparkSession, max_files: int = 64) -> Snapshot:
-        """Rewrite the table into <= ``max_files`` per-bucket files when
-        fragmentation exceeds that (the append path adds one file set
-        per epoch: at 10^5 epochs an audit table is 10^5 tiny files and
-        every scan pays per-file open cost — Iceberg's rewrite_data_files
-        analog). Bucket layout is preserved (rows rebucket by key), the
-        commit is a normal snapshot (rollback-able), and it is a no-op
-        below the threshold so it can run after every N epochs."""
+    def compact_files(
+        self, spark: SparkSession, max_files: int = 64, rebucket: bool = False
+    ) -> Snapshot:
+        """Rewrite the table into one file per bucket when fragmentation
+        exceeds ``max_files`` (the append path adds one file set per
+        epoch: at 10^5 epochs an audit table is 10^5 tiny files and
+        every scan pays per-file open cost — Iceberg's
+        rewrite_data_files analog). The commit is a normal snapshot
+        (rollback-able) and a no-op below the threshold, so it can run
+        after every N epochs.
+
+        ``rebucket=False`` (default) preserves each row's EXISTING
+        bucket — mandatory for tables with a non-default layout (the
+        rollup table identity-buckets on src_bucket and its epoch
+        commits depend on that manifest keying; re-hashing would
+        scatter rows across manifest keys and corrupt later
+        bucket-granular replaces). ``rebucket=True`` re-derives buckets
+        from the key columns — for APPEND-mode tables (lineage), whose
+        buckets are version-keyed and unbounded in count, collapsing
+        them back to the table's n_buckets is the entire point."""
         snap = self.snapshot()
         n_files = sum(len(p) for p in snap.files.values())
         if n_files <= max_files:
             return snap
-        df = self.read(spark, with_bucket=False, include_deleted=True)
-        df = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        if rebucket:
+            df = self.read(spark, with_bucket=False, include_deleted=True)
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+            )
+        else:
+            df = self.read(spark, with_bucket=True, include_deleted=True)
         return self.commit(
             df,
             overwrite_all=True,
             # NOT already-partitioned: the repartition(BUCKET_COL) inside
             # _write_data is what collapses each bucket to one file.
             summary={"operation": "compact_files", "was_files": n_files},
+        )
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> Snapshot:
+        """Partition-spec evolution: rewrite the table into a new bucket
+        count (Iceberg's evolve-partition-spec + rewrite analog).
+
+        At 10^10+ rows a bucket count chosen at table creation is
+        eventually wrong — buckets outgrow executor memory for the
+        grouped-map merge and the touched-list loses pruning power —
+        so growth has to be a supported lifecycle operation, not a
+        table rebuild. One shuffle (repartition by the new bucket in
+        _write_data); tombstones ride along (include_deleted), so
+        late-event arbitration survives the migration; applied-epoch
+        bookkeeping is untouched, so replay/resume still works. NOTE:
+        derived tables keyed by this table's bucket ids (the rollup's
+        src_bucket partials) must be refreshed afterwards — use
+        pipeline.rebucket_warehouse, which does both.
+        """
+        head = self.snapshot()
+        if new_n_buckets == head.n_buckets:
+            return head
+        if new_n_buckets <= 0:
+            raise ValueError("new_n_buckets must be positive")
+        df = self.read(spark, with_bucket=False, include_deleted=True)
+        df = df.withColumn(
+            BUCKET_COL, bucket_expr(head.key_cols, new_n_buckets)
+        )
+        return self.commit(
+            df,
+            overwrite_all=True,
+            n_buckets=new_n_buckets,
+            summary={
+                "operation": "rebucket",
+                "from": head.n_buckets,
+                "to": new_n_buckets,
+            },
         )
 
     def expire_tombstones(self, spark: SparkSession, older_than) -> Snapshot:

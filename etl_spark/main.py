@@ -33,6 +33,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true")
     p.add_argument("--rollback", action="store_true")
     p.add_argument("--status", action="store_true")
+    p.add_argument(
+        "--rebucket",
+        type=int,
+        metavar="N",
+        help="partition evolution: rewrite pages into N buckets and rebuild rollup partials",
+    )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="collapse lineage/audit file fragmentation (one file per bucket)",
+    )
+    p.add_argument(
+        "--expire-tombstones",
+        metavar="TS",
+        help="GC delete markers with warc_ts older than this timestamp (the late-event horizon)",
+    )
     p.add_argument("--source", help="change-log dir (stream) or sf dir (ingest)")
     p.add_argument("--from-epoch", type=int, default=0)
     p.add_argument("--to-epoch", type=int, default=3)
@@ -95,6 +111,23 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--rollback requires --to-version")
         wh.pages.rollback(args.to_version)
         print(f"pages table now at v{args.to_version}")
+        return 0
+
+    if args.rebucket:
+        from etl_spark.pipeline import rebucket_warehouse
+
+        rebucket_warehouse(spark, wh, args.rebucket)
+        print(f"pages rebucketed to {args.rebucket}; rollup partials rebuilt")
+        return 0
+
+    if args.compact:
+        snap = wh.lineage.compact_files(spark, rebucket=True)
+        print(f"lineage compacted: now {sum(len(p) for p in snap.files.values())} files")
+        return 0
+
+    if args.expire_tombstones:
+        snap = wh.pages.expire_tombstones(spark, args.expire_tombstones)
+        print(f"tombstones expired; pages at v{snap.version}")
         return 0
 
     if args.status:

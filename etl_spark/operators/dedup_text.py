@@ -191,15 +191,19 @@ def minhash_lsh_pairs(
     a = banded.select(F.col("doc").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc").alias("b_id"), "band", "sig")
     # cands feeds two consumers (the id semi-join below and the verify
-    # join), so persist it — it is tiny (pair ids only) and persisting
-    # stops Spark recomputing the whole shingle->signature->band chain
-    # twice. Without this the plan evaluates the banding join per use.
+    # join); materialize it ONCE with an eager localCheckpoint — it is
+    # tiny (pair ids only) and this stops Spark re-evaluating the whole
+    # shingle->signature->band chain per consumer. localCheckpoint, not
+    # persist(): its blocks are reclaimed by the ContextCleaner as soon
+    # as the returned DataFrame is garbage collected, so repeated calls
+    # (bench iterations, long sessions) don't pin dead cache entries
+    # that an un-unpersisted .persist() would leak.
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # exact verify on candidates only: shingle ONLY the candidate docs
     # (semi-join on the input before exploding) — at corpus scale

@@ -186,9 +186,16 @@ def merge_epoch(
     payload_names = {f.name for f in schema.fields}
     tiebreak = order_cols[1] if len(order_cols) > 1 else None
     if tiebreak is not None and tiebreak in payload_names:
+        # BOTH sides null-coalesce to -inf: a null seq anywhere must
+        # degrade to the ties-go-to-delta rule, never make the whole
+        # comparison NULL (a NULL delta_wins would fail keep_delta AND
+        # keep_current and silently drop the key from the table).
         cur_tb = F.coalesce(cur[tiebreak], F.lit(-(2**63)).cast("long"))
+        d_tb = F.coalesce(
+            F.col(f"_d_{tiebreak}"), F.lit(-(2**63)).cast("long")
+        )
         newer = (F.col(f"_d_{ts}") > cur[ts]) | (
-            (F.col(f"_d_{ts}") == cur[ts]) & (F.col(f"_d_{tiebreak}") >= cur_tb)
+            (F.col(f"_d_{ts}") == cur[ts]) & (d_tb >= cur_tb)
         )
     else:
         newer = F.col(f"_d_{ts}") >= cur[ts]

@@ -161,9 +161,13 @@ def make_bucket_merger(
         if cur_ts is None:
             delta_wins = in_delta
         elif cur_tb is not None and tb_col in merged.columns:
-            # stored null seq (pre-upgrade rows) compares as -inf
+            # null seq on EITHER side compares as -inf (classic-path
+            # parity: ties with unknown seq go to the delta, and no
+            # NaN comparison may silently drop a key)
             cur_tb_f = pd.to_numeric(cur_tb, errors="coerce").fillna(float(-(2**63)))
-            d_tb = pd.to_numeric(merged[tb_col], errors="coerce")
+            d_tb = pd.to_numeric(merged[tb_col], errors="coerce").fillna(
+                float(-(2**63))
+            )
             newer = (merged[ts_col] > cur_ts) | (
                 (merged[ts_col] == cur_ts) & (d_tb >= cur_tb_f)
             )

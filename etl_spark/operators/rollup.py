@@ -33,6 +33,11 @@ from etl_spark.functions.keys import smart_date_id
 from etl_spark.lake.table import BUCKET_COL, LakeTable
 from etl_spark.operators.clean import domain_of
 
+# Manifest-layout stamp carried in every rollup commit summary: the
+# bucket-granular replace below is only valid when manifest keys are
+# src_buckets themselves (identity bucketing).
+LAYOUT = "identity:src_bucket"
+
 ROLLUP_SCHEMA = T.StructType(
     [
         T.StructField("src_bucket", T.IntegerType(), False),
@@ -83,9 +88,18 @@ def rollup_domain_stats(
         return
     if touched_buckets is None:
         touched_buckets = pages.snapshot().summary.get("touched_list")
-    summary = {"operation": "rollup", "epoch": epoch}
-    if touched_buckets is None:
-        # fall back to full refresh (still pure + idempotent)
+    summary = {"operation": "rollup", "epoch": epoch, "layout": LAYOUT}
+    # Layout guard: bucket-granular replace is only sound against a
+    # manifest whose keys ARE src_buckets. A rollup table written by an
+    # older (hash-bucketed) engine, or any non-empty table missing the
+    # layout stamp, gets ONE full refresh — which rewrites it into the
+    # identity layout and stamps it — instead of a partial replace that
+    # would drop unrelated partials and double-count surviving ones.
+    head = rollup.snapshot()
+    stamped = head.summary.get("layout") == LAYOUT
+    has_data = any(head.files.values())
+    if touched_buckets is None or (has_data and not stamped):
+        # full refresh (still pure + idempotent)
         fresh = compute_partials(pages.read(spark, with_bucket=True))
         rollup.commit(
             fresh.withColumn(BUCKET_COL, F.col("src_bucket")),

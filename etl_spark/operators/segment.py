@@ -27,13 +27,19 @@ from pyspark.sql import DataFrame
 CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, chunk_text string, n_words int"
 
 
-def split_words_into_chunks(text: str, max_words: int) -> list[str]:
+def split_words_into_chunks(
+    text: str, max_words: int
+) -> list[tuple[str, int]]:
     """Pure kernel: split on single spaces (the corpus convention shared
     with the oracles — '' yields one empty word, hence one chunk) and
-    regroup into <=max_words chunks."""
+    regroup into <=max_words (chunk, n_words) pairs. The count comes
+    from the slice bounds — re-splitting the joined chunk to count it
+    would double the kernel's string work."""
     ws = text.split(" ")
+    n = len(ws)
     return [
-        " ".join(ws[i : i + max_words]) for i in range(0, len(ws), max_words)
+        (" ".join(ws[i : i + max_words]), min(max_words, n - i))
+        for i in range(0, n, max_words)
     ]
 
 
@@ -52,11 +58,13 @@ def segment_documents(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None or (isinstance(text, float) and pd.isna(text)):
                     continue
-                for i, chunk in enumerate(split_words_into_chunks(text, max_words)):
+                for i, (chunk, n) in enumerate(
+                    split_words_into_chunks(text, max_words)
+                ):
                     ids.append(doc_id)
                     idxs.append(i)
                     chunks.append(chunk)
-                    counts.append(len(chunk.split(" ")))
+                    counts.append(n)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

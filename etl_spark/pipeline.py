@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_spark import schema as S
 from etl_spark.functions.extract import with_extracted_text
-from etl_spark.lake.table import LakeTable
+from etl_spark.lake.table import BUCKET_COL, LakeTable
 from etl_spark.lineage import LineageLog
 from etl_spark.operators.clean import clean_changes
 from etl_spark.operators.dedup import delta_stats, lww_dedup, salted_lww_dedup
@@ -164,6 +164,25 @@ def ingest_epoch(
 
     log.flush(spark)
     return stats
+
+
+def rebucket_warehouse(
+    spark: SparkSession, wh: Warehouse, new_n_buckets: int
+) -> None:
+    """Grow (or shrink) the pages table's bucket count, then rebuild the
+    rollup partials — their src_bucket keys are defined by the pages
+    layout, so a pages rebucket invalidates every existing partial.
+    Both commits are ordinary snapshots: rollback-able, replay
+    bookkeeping untouched."""
+    from etl_spark.operators.rollup import LAYOUT, compute_partials
+
+    wh.pages.rebucket(spark, new_n_buckets)
+    fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
+    wh.rollup.commit(
+        fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+        overwrite_all=True,
+        summary={"operation": "rollup_rebuild_after_rebucket", "layout": LAYOUT},
+    )
 
 
 def ingest_range(

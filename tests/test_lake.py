@@ -115,7 +115,7 @@ def test_compact_files_collapses_append_fragmentation(spark, tmp_wh):
     assert n_before >= 12
     v_before = t.head_version()
 
-    compacted = t.compact_files(spark, max_files=4)
+    compacted = t.compact_files(spark, max_files=4, rebucket=True)
     n_after = sum(len(p) for p in compacted.files.values())
     assert n_after <= 4
     assert t.read(spark).count() == 12
@@ -123,7 +123,7 @@ def test_compact_files_collapses_append_fragmentation(spark, tmp_wh):
         f"k{i}" for i in range(12)
     )
     # below threshold: no-op (same snapshot version back)
-    again = t.compact_files(spark, max_files=64)
+    again = t.compact_files(spark, max_files=64, rebucket=True)
     assert again.version == compacted.version
     # a maintenance commit is rollback-able like any other
     t.rollback(v_before)

@@ -1,0 +1,148 @@
+"""Regression pins for review findings on the maintenance/merge paths:
+
+1. a null delta-side seq in an equal-timestamp arbitration must never
+   make delta_wins NULL (which dropped BOTH rows from the classic
+   merge — silent data loss on the public, clean-bypassing API);
+2. compact_files on the identity-bucketed rollup table must preserve
+   the manifest layout its bucket-granular epoch commits depend on;
+3. a rollup table written in a pre-identity (hash-bucketed) layout
+   must trigger one full refresh, not a partial replace that drops
+   unrelated partials.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.lake.table import BUCKET_COL, bucket_expr
+from etl_spark.operators.merge import merge_epoch
+from etl_spark.operators.merge_spj import merge_epoch_spj
+from etl_spark.operators.rollup import compute_partials, read_rollup
+from etl_spark.pipeline import Warehouse, ingest_epoch
+from etl_spark.sources.changelog import epoch_provider
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = (
+    "seq long, epoch long, op string, url string, warc_ts string, "
+    "html binary, lang string"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+
+
+@pytest.mark.parametrize("strategy", ["classic", "spj"])
+def test_null_seq_equal_ts_never_drops_the_key(spark, tmp_path, strategy):
+    """Direct merge API (clean() is bypassed): equal warc_ts, delta seq
+    NULL vs stored seq 5 -> the null side compares as -inf, the stored
+    row survives, and the key never vanishes."""
+    wh = Warehouse.init(str(tmp_path / f"wh_{strategy}"), n_buckets=2)
+    url = "https://n.example/tie"
+    ts = "2024-01-01 00:00:00"
+    e0 = _df(spark, [(5, 0, "I", url, ts, b"<p>stored</p>", None)])
+    ingest_epoch(spark, wh, e0, 0, strategy=strategy, with_rollup=False)
+
+    null_seq = _df(spark, [(None, 1, "U", url, ts, b"<p>null-seq</p>", None)])
+    if strategy == "classic":
+        merge_epoch(spark, wh.pages, null_seq, 1, pre_deduped=True)
+    else:
+        merge_epoch_spj(spark, wh.pages, null_seq, 1)
+
+    rows = wh.pages.read(spark).collect()
+    assert len(rows) == 1, "key vanished: NULL arbitration dropped both rows"
+    assert rows[0].text == "stored" and rows[0].seq == 5
+
+
+def _rollup_state(spark, wh):
+    return sorted(
+        (r.domain, r.day_id, r.n_pages, r.text_chars)
+        for r in read_rollup(spark, wh.rollup).collect()
+    )
+
+
+def _expected_rollup(spark, wh):
+    exp = (
+        compute_partials(wh.pages.read(spark, with_bucket=True))
+        .groupBy("domain", "day_id")
+        .agg(
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("text_chars").alias("text_chars"),
+        )
+    )
+    return sorted(
+        (r.domain, r.day_id, r.n_pages, r.text_chars) for r in exp.collect()
+    )
+
+
+def test_rollup_compact_preserves_identity_layout(spark, tmp_path):
+    """compact_files(default) keeps manifest keys == src_bucket, so the
+    next epoch's bucket-granular rollup replace stays correct."""
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=8)
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    ingest_epoch(spark, wh, prov, 0)
+    ingest_epoch(spark, wh, prov, 1)
+    wh.rollup.compact_files(spark, max_files=1)  # force a rewrite
+    ingest_epoch(spark, wh, prov, 2)
+    assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
+
+
+def test_rollup_legacy_hash_layout_triggers_full_refresh(spark, tmp_path):
+    """A rollup table whose manifest predates identity bucketing (keys
+    are hash buckets, no layout stamp) must be fully refreshed on first
+    contact instead of partially replaced."""
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=8)
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    ingest_epoch(spark, wh, prov, 0)
+
+    # forge the legacy layout: rewrite partials hash-bucketed, no stamp
+    snap = wh.rollup.snapshot()
+    legacy = wh.rollup.read(spark).withColumn(
+        BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+    )
+    wh.rollup.commit(legacy, overwrite_all=True, summary={"operation": "forge"})
+    assert wh.rollup.snapshot().summary.get("layout") is None
+
+    ingest_epoch(spark, wh, prov, 1)  # must NOT partial-replace the forgery
+    assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
+    # and the table is now stamped + identity-layout for future epochs
+    assert wh.rollup.snapshot().summary.get("layout") == "identity:src_bucket"
+    ingest_epoch(spark, wh, prov, 2)
+    assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
+
+
+def test_rebucket_preserves_state_and_tombstones(spark, tmp_path):
+    """Partition evolution mid-stream: grow 4 -> 16 buckets between
+    epochs. Final visible state must equal a never-rebucketed run,
+    tombstones must survive the rewrite (late events still lose), and
+    the rollup must stay consistent after its rebuild."""
+    from etl_spark.pipeline import rebucket_warehouse
+
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+
+    ref = Warehouse.init(str(tmp_path / "ref"), n_buckets=4)
+    for e in range(3):
+        ingest_epoch(spark, ref, prov, e)
+
+    grown = Warehouse.init(str(tmp_path / "grown"), n_buckets=4)
+    ingest_epoch(spark, grown, prov, 0)
+    ingest_epoch(spark, grown, prov, 1)
+    rebucket_warehouse(spark, grown, 16)
+    assert grown.pages.snapshot().n_buckets == 16
+    ingest_epoch(spark, grown, prov, 2)
+
+    def state(wh):
+        return sorted(
+            (r.url, r.warc_ts, r.text, r.lang)
+            for r in wh.pages.read(spark).collect()
+        )
+
+    assert state(grown) == state(ref)
+    # tombstones rode along: hidden rows exist iff the log had deletes
+    hidden_ref = ref.pages.read(spark, include_deleted=True).count()
+    hidden_grown = grown.pages.read(spark, include_deleted=True).count()
+    assert hidden_grown == hidden_ref
+    assert _rollup_state(spark, grown) == _expected_rollup(spark, grown)
