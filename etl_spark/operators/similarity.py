@@ -157,6 +157,78 @@ def partitioned_topk(
     )
 
 
+def multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    centroids: list[list[float]],
+    n_probes: int = 2,
+    k: int = 5,
+    cell_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF search probing the ``n_probes`` nearest cells per query —
+    the recall knob on top of :func:`partitioned_topk`'s single-probe
+    plan. Same shape at scale: the query side explodes to n_probes
+    (query, cell) rows (still tiny, still broadcast), the corpus side
+    stays a cell-partitioned equi-join with file pruning; candidate
+    count grows linearly in n_probes, never quadratically.
+
+    Probe selection is deterministic: squared-L2 to each centroid via
+    the same ordered fold as the quantizer, ties broken by lowest cell
+    id (array_sort over (dist, cell) structs) — so ``n_probes=1``
+    reproduces the assigned cell exactly and ``n_probes=len(centroids)``
+    degenerates to the brute-force ranking.
+    """
+    if cell_ids is None:
+        cell_ids = list(range(len(centroids)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist_to_literal(F.col("qv"), c).alias("d"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, c in zip(cell_ids, centroids)
+        ]
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probes),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            F.round(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
+
+
 def _sq_dist_to_literal(vec: F.Column, centroid: list[float]) -> F.Column:
     """Σ_i (v[i]-c[i])^2 as a deterministic left fold (index order) —
     the same operation order as the oracle's list_sum(list_transform)."""

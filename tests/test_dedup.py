@@ -153,3 +153,50 @@ def test_kmeans_cells_deterministic_and_stable(spark):
     even_cells = {m1[i] for i in range(0, 40, 2)}
     odd_cells = {m1[i] for i in range(1, 40, 2)}
     assert even_cells.isdisjoint(odd_cells)
+
+
+# ---------------------------------------------------------------------------
+# multiprobe_topk: the IVF recall knob
+# ---------------------------------------------------------------------------
+def test_multiprobe_bounds_and_degenerate_cases(spark):
+    """n_probes=1 must equal the single-probe (assigned-cell) search;
+    n_probes=n_cells must equal brute force; recall is monotone in
+    n_probes."""
+    from etl_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_cells,
+        multiprobe_topk,
+        partitioned_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells, centroids = kmeans_cells(e, "vec_id", "embedding", k=6, iters=2)
+    withc = e.join(cells, e.vec_id == cells.vid).drop("vid")
+    queries = withc.filter("vec_id < 20")
+
+    def key(df, cols=("query_id", "rank", "cand_id")):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    single = partitioned_topk(queries, withc, "vec_id", "embedding", "cell", k=5)
+    p1 = multiprobe_topk(
+        queries, withc, "vec_id", "embedding", "cell", centroids, n_probes=1, k=5
+    )
+    assert key(p1) == key(single)
+
+    brute = brute_force_topk(queries, withc, "vec_id", "embedding", k=5)
+    pall = multiprobe_topk(
+        queries, withc, "vec_id", "embedding", "cell", centroids,
+        n_probes=len(centroids), k=5,
+    )
+    assert key(pall) == key(brute)
+
+    truth = set(key(brute, ("query_id", "cand_id")))
+
+    def recall(df):
+        got = set(key(df, ("query_id", "cand_id")))
+        return len(got & truth)
+
+    p2 = multiprobe_topk(
+        queries, withc, "vec_id", "embedding", "cell", centroids, n_probes=2, k=5
+    )
+    assert recall(p1) <= recall(p2) <= recall(pall) == len(truth)
