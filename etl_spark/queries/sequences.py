@@ -32,10 +32,12 @@ MAX_CHUNK_WORDS = 64
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_points,
-           array_agg(ROUND(CAST(value AS DOUBLE), 4) ORDER BY ts, event_id) AS seq_values,
-           array_agg(event_id ORDER BY ts, event_id) AS seq_event_ids,
+           (array_agg(event_id ORDER BY ts, event_id))[1] AS first_event_id,
+           (array_agg(event_id ORDER BY ts, event_id))[-1] AS last_event_id,
            md5(string_agg((epoch_us(ts) // 1000000)::BIGINT || ':' || event_id,
-                          ',' ORDER BY ts, event_id)) AS seq_md5
+                          ',' ORDER BY ts, event_id)) AS seq_md5,
+           md5(string_agg(CAST(floor(CAST(value AS DOUBLE) * 10000) AS BIGINT)::VARCHAR,
+                          ',' ORDER BY ts, event_id)) AS seq_vals_md5
     FROM events GROUP BY user_id
     """,
 )
@@ -45,7 +47,15 @@ def sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimate 'big array per key' operator — bounded by per-key
     cardinality, never by table size, and skew shows up per key where
     salting can't help (a sequence must end up whole); the mitigation is
-    the G5/G7 segmenter below."""
+    the G5/G7 segmenter below.
+
+    The assembled arrays are verified through scalar fingerprints
+    (driver-canonicalizable — a raw array column cannot be lexsorted by
+    the harness): ``seq_md5`` pins exact order + content of the
+    (ts, event_id) sequence; ``seq_vals_md5`` pins the value payload via
+    ``floor(value*10000)`` — pure integer arithmetic, bit-identical
+    across engines (no float-to-string formatting in the hash input);
+    first/last elements prove the ordering endpoints directly."""
     ev = load_table(spark, sf_dir, "events")
     seq = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", F.col("value").alias("value")))
@@ -56,10 +66,8 @@ def sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_points",
-            F.transform(
-                "seq", lambda x: F.round(x["value"].cast("double"), 4)
-            ).alias("seq_values"),
-            F.transform("seq", lambda x: x["event_id"]).alias("seq_event_ids"),
+            F.element_at("seq", 1)["event_id"].alias("first_event_id"),
+            F.element_at("seq", -1)["event_id"].alias("last_event_id"),
             F.md5(
                 F.concat_ws(
                     ",",
@@ -73,6 +81,17 @@ def sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("seq_md5"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "seq",
+                        lambda x: F.floor(x["value"].cast("double") * 10000).cast(
+                            "string"
+                        ),
+                    ),
+                )
+            ).alias("seq_vals_md5"),
         )
     )
 
