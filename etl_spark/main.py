@@ -113,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"pages table now at v{args.to_version}")
         return 0
 
-    if args.rebucket:
+    if args.rebucket is not None:
         from etl_spark.pipeline import rebucket_warehouse
 
         rebucket_warehouse(spark, wh, args.rebucket)

@@ -104,8 +104,20 @@ def make_bucket_merger(
         bucket = int(pdf[BUCKET_COL].iloc[0])
 
         # 1. LWW winners (keep-last over the ascending order tuple).
+        # Tie-break columns go through pandas nullable Int64 BEFORE any
+        # sort/merge: the outer merge would otherwise upcast int64-with-
+        # nulls to float64, losing exact comparison above 2^53.
+        # na_position='first' matches the JVM max-struct order (nulls
+        # smallest), so a null-seq event loses a tied-ts dedup to a
+        # concrete-seq one exactly as on the classic path.
+        tb_cols = order_cols[1:]
+        for c in tb_cols:
+            if c in pdf.columns:
+                pdf = pdf.assign(
+                    **{c: pd.to_numeric(pdf[c], errors="coerce").astype("Int64")}
+                )
         winners = (
-            pdf.sort_values(order_cols, kind="mergesort")
+            pdf.sort_values(order_cols, kind="mergesort", na_position="first")
             .drop_duplicates(key_cols, keep="last")
             .copy()
         )
@@ -132,8 +144,12 @@ def make_bucket_merger(
                 pq.read_table(os.path.join(root, p), use_threads=False)
                 for p in paths
             ]
+            # int64 -> nullable Int64 at the Arrow boundary: the default
+            # conversion renders int64-with-nulls as float64, which is
+            # already lossy above 2^53 before any downstream cast.
             cur = pa.concat_tables(tables, promote_options="default").to_pandas(
-                use_threads=False
+                use_threads=False,
+                types_mapper={pa.int64(): pd.Int64Dtype()}.get,
             )
             # old files may predate later-added columns
             for c in payload_cols:
@@ -163,10 +179,18 @@ def make_bucket_merger(
         elif cur_tb is not None and tb_col in merged.columns:
             # null seq on EITHER side compares as -inf (classic-path
             # parity: ties with unknown seq go to the delta, and no
-            # NaN comparison may silently drop a key)
-            cur_tb_f = pd.to_numeric(cur_tb, errors="coerce").fillna(float(-(2**63)))
-            d_tb = pd.to_numeric(merged[tb_col], errors="coerce").fillna(
-                float(-(2**63))
+            # NaN comparison may silently drop a key). Both sides are
+            # nullable Int64 by now, so the comparison is exact integer
+            # order across the full int64 range — no float64 detour.
+            cur_tb_f = (
+                pd.to_numeric(cur_tb, errors="coerce")
+                .astype("Int64")
+                .fillna(-(2**63))
+            )
+            d_tb = (
+                pd.to_numeric(merged[tb_col], errors="coerce")
+                .astype("Int64")
+                .fillna(-(2**63))
             )
             newer = (merged[ts_col] > cur_ts) | (
                 (merged[ts_col] == cur_ts) & (d_tb >= cur_tb_f)

@@ -247,9 +247,15 @@ def kmeans_cells(
     k: int = 8,
     iters: int = 2,
     dim: int = DIM,
-) -> tuple[DataFrame, list[list[float]]]:
+    max_training_rows: int | None = 100_000,
+) -> tuple[DataFrame, list[list[float]], list[int]]:
     """Deterministic Lloyd k-means coarse quantizer: returns
-    ``(assignments(id, cell), final_centroids)``.
+    ``(assignments(id, cell), final_centroids, cell_ids)``.
+
+    ``cell_ids`` is parallel to ``final_centroids``: a cell that empties
+    during a Lloyd iteration disappears, so the surviving ids can be
+    non-contiguous — callers that rank cells (multiprobe) MUST use the
+    returned ids, never ``range(len(centroids))``.
 
     Every step is replay-stable and engine-portable so the IVF index has
     an exact SQL oracle twin:
@@ -260,16 +266,34 @@ def kmeans_cells(
         double addition is not associative, so an unordered SUM would
         diverge bit-wise between engines and between replays.
 
+    The centroid update materializes each cell's member vectors in ONE
+    collect_list array — fine on a bounded training set, an executor
+    OOM if a 100 TB corpus lands in one cell. ``max_training_rows``
+    therefore ENFORCES train-on-sample as the only path: when the input
+    exceeds it, Lloyd runs on the deterministic id-hash sample
+    ``pmod(xxhash64(id), ceil(n/max)) == 0`` (replay-stable, no RNG) and
+    only the final assignment pass sees the full corpus — the pass that
+    is a pure per-row argmin, no per-cell state. Pass ``None`` to train
+    on everything (the oracle-twin path at test scale, where DuckDB
+    re-derives the full Lloyd loop in SQL).
+
     The per-iteration ``collect`` is k centroid rows — bounded driver
-    state, the same reduce shape MLlib's k-means uses. At 100 TB: run
-    the same loop on a deterministic sample (id-hash filter), then one
-    assignment pass over the corpus writes the cell column that becomes
-    the Iceberg partition; from there probes are file-pruned joins.
+    state, the same reduce shape MLlib's k-means uses. At 100 TB the
+    cell column becomes the Iceberg partition; probes are file-pruned
+    joins.
     """
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     )
-    init = v.orderBy("vid").limit(k).collect()
+    train = v
+    if max_training_rows is not None:
+        n = v.count()
+        if n > max_training_rows:
+            sample_mod = -(-n // max_training_rows)  # ceil
+            train = v.filter(
+                F.pmod(F.xxhash64(F.col("vid")), F.lit(sample_mod)) == 0
+            )
+    init = train.orderBy("vid").limit(k).collect()
     # (cell_id, vector) pairs, always ascending cell_id: a cell that
     # empties mid-iteration disappears but the surviving ids are stable,
     # matching the SQL twin's GROUP BY cell exactly.
@@ -289,7 +313,7 @@ def kmeans_cells(
         )
 
     for _ in range(iters):
-        assigned = assign(v)
+        assigned = assign(train)
         sorted_members = F.array_sort(
             F.collect_list(F.struct(F.col("vid"), F.col("e")))
         )
@@ -310,7 +334,11 @@ def kmeans_cells(
         )
         centroids = sorted((int(r.cell), list(r.ce)) for r in rows)
 
-    return assign(v).select(F.col("vid"), "cell"), [c for _, c in centroids]
+    return (
+        assign(v).select(F.col("vid"), "cell"),
+        [c for _, c in centroids],
+        [cid for cid, _ in centroids],
+    )
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:

@@ -153,13 +153,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are file-pruned joins (probe-adjacent-cells is the recall
     knob, same plan shape with IN (cells))."""
     e = load_table(spark, sf_dir, "embeddings")
-    cells, _ = S.kmeans_cells(
+    cells, _, _ = S.kmeans_cells(
         e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS
     )
     with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
     queries = with_cells.filter(F.col("vec_id") < N_QUERIES)
     return S.partitioned_topk(
         queries, with_cells, "vec_id", "embedding", "cell", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: same learned quantizer, but each query probes its
+# n_probes nearest cells (rank by squared-L2 to the final centroids,
+# ties to the lowest cell id) — the recall knob a real IVF user tunes.
+# The oracle re-derives the probe ranking from the same c2 centroids.
+# ---------------------------------------------------------------------------
+N_PROBES = 2
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH {_V_CTE},
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, e AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    {_assign_cte("v", "c0", "a0")},
+    {_update_cte("a0", "c1")},
+    {_assign_cte("v", "c1", "a1")},
+    {_update_cte("a1", "c2")},
+    {_assign_cte("v", "c2", "a2")},
+    probe_d AS (
+      SELECT p.vec_id, p.e, c.cell, {_SQDIST} AS dist
+      FROM (SELECT * FROM a2 WHERE vec_id < {N_QUERIES}) p CROSS JOIN c2 c
+    ),
+    probes AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS prn
+        FROM probe_d
+      ) WHERE prn <= {N_PROBES}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_COS} AS cos_raw
+      FROM probes q JOIN a2 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, cand_id, ROUND(cos_raw, 4) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k: the learned-quantizer search probing the
+    2 nearest cells per query (recall knob over ann_ivf_topk, which is
+    the n_probes=1 plan). The query side explodes to n_probes rows —
+    still tiny, still broadcast — while the corpus side stays a
+    cell-partitioned equi-join, so candidate count grows linearly in
+    n_probes. Cell ids are threaded from kmeans_cells (a cell that
+    empties during Lloyd leaves non-contiguous survivors; positional
+    ids would probe the wrong cells)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells, centroids, cell_ids = S.kmeans_cells(
+        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS
+    )
+    with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
+    queries = with_cells.filter(F.col("vec_id") < N_QUERIES)
+    return S.multiprobe_topk(
+        queries,
+        with_cells,
+        "vec_id",
+        "embedding",
+        "cell",
+        centroids,
+        n_probes=N_PROBES,
+        k=5,
+        cell_ids=cell_ids,
     )
 
 

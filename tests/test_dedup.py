@@ -143,8 +143,9 @@ def test_kmeans_cells_deterministic_and_stable(spark):
         rows.append((i, vec))
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
-    a1, c1 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
-    a2, c2 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
+    a1, c1, ids1 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
+    a2, c2, ids2 = kmeans_cells(df, "vec_id", "embedding", k=4, iters=2)
+    assert ids1 == ids2 and len(ids1) == len(c1)
     m1 = {r.vid: r.cell for r in a1.collect()}
     m2 = {r.vid: r.cell for r in a2.collect()}
     assert m1 == m2  # replay-deterministic
@@ -170,7 +171,7 @@ def test_multiprobe_bounds_and_degenerate_cases(spark):
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    cells, centroids = kmeans_cells(e, "vec_id", "embedding", k=6, iters=2)
+    cells, centroids, cell_ids = kmeans_cells(e, "vec_id", "embedding", k=6, iters=2)
     withc = e.join(cells, e.vec_id == cells.vid).drop("vid")
     queries = withc.filter("vec_id < 20")
 
@@ -179,14 +180,15 @@ def test_multiprobe_bounds_and_degenerate_cases(spark):
 
     single = partitioned_topk(queries, withc, "vec_id", "embedding", "cell", k=5)
     p1 = multiprobe_topk(
-        queries, withc, "vec_id", "embedding", "cell", centroids, n_probes=1, k=5
+        queries, withc, "vec_id", "embedding", "cell", centroids,
+        n_probes=1, k=5, cell_ids=cell_ids,
     )
     assert key(p1) == key(single)
 
     brute = brute_force_topk(queries, withc, "vec_id", "embedding", k=5)
     pall = multiprobe_topk(
         queries, withc, "vec_id", "embedding", "cell", centroids,
-        n_probes=len(centroids), k=5,
+        n_probes=len(centroids), k=5, cell_ids=cell_ids,
     )
     assert key(pall) == key(brute)
 
@@ -197,6 +199,52 @@ def test_multiprobe_bounds_and_degenerate_cases(spark):
         return len(got & truth)
 
     p2 = multiprobe_topk(
-        queries, withc, "vec_id", "embedding", "cell", centroids, n_probes=2, k=5
+        queries, withc, "vec_id", "embedding", "cell", centroids,
+        n_probes=2, k=5, cell_ids=cell_ids,
     )
     assert recall(p1) <= recall(p2) <= recall(pall) == len(truth)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_cells: the enforced train-on-sample guard
+# ---------------------------------------------------------------------------
+def test_kmeans_sample_guard_trains_on_id_hash_sample(spark):
+    """When the input exceeds max_training_rows, Lloyd must run on the
+    deterministic pmod(xxhash64(id), ceil(n/max))==0 sample and ONLY the
+    final assignment may see the full set — pinned by comparing the
+    guarded run's centroids against explicit sample-only training."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.similarity import kmeans_cells
+
+    rows = []
+    for i in range(40):
+        base = [5.0, 0.0] if i % 2 == 0 else [0.0, 5.0]
+        vec = [base[0] + (i % 7) * 0.01] * 32 + [base[1] + (i % 5) * 0.01] * 32
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    a_g, c_guarded, ids_guarded = kmeans_cells(
+        df, "vec_id", "embedding", k=4, iters=2, max_training_rows=20
+    )
+    mod = -(-40 // 20)
+    sample = df.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    assert 0 < sample.count() < 40
+    _, c_sample, ids_sample = kmeans_cells(
+        sample, "vec_id", "embedding", k=4, iters=2, max_training_rows=None
+    )
+    assert c_guarded == c_sample  # trained on the sample, bit-identical
+    assert ids_guarded == ids_sample
+    # the full corpus is still assigned (not just the sample) and only
+    # to surviving cells
+    assigned = a_g.collect()
+    assert len(assigned) == 40
+    assert {r.cell for r in assigned} <= set(ids_guarded)
+    # guard not triggered below the cap: identical to unguarded training
+    _, c_all, _ = kmeans_cells(
+        df, "vec_id", "embedding", k=4, iters=2, max_training_rows=40
+    )
+    _, c_none, _ = kmeans_cells(
+        df, "vec_id", "embedding", k=4, iters=2, max_training_rows=None
+    )
+    assert c_all == c_none
