@@ -137,25 +137,44 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding. Permutations are salted md5s (portable across
-# engines); signatures come from the *exploded* shingle table via 16 min
+# MinHash + LSH banding. Permutations are SLICES of salted md5s: one md5
+# per 4 permutations (md5 bytes are independent, so four 32-bit slices
+# of one digest are four independent uniform rankings) — 4 md5 calls
+# per exploded shingle instead of 16, the dominant cost of the whole
+# LSH path. Hex slices are fixed-width lowercase, so string MIN equals
+# numeric MIN of the unsigned 32-bit value, and the arithmetic is
+# portable (md5 + substr are identical in Spark, DuckDB, hashlib).
+# Signatures come from the *exploded* shingle table via 16 min
 # aggregates — map-side partials, no per-doc array state, so a hot doc
 # (millions of shingles) still reduces incrementally.
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
+_PERMS_PER_MD5 = 4  # 4 x 8 hex chars = one 32-hex md5 digest
+
+
+def minhash_slice(i: int) -> tuple[int, int]:
+    """Permutation i reads md5(block || '|' || gram)[pos : pos+8]."""
+    return i // _PERMS_PER_MD5, 1 + (i % _PERMS_PER_MD5) * 8
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
-    """(doc, n_grams, mh0..mh15): minhash_i = min(md5(i || '|' || gram))."""
+    """(doc, n_grams, mh0..mh15):
+    minhash_i = min(substr(md5(block_i || '|' || gram), pos_i, 8))."""
     grams = shingle_table(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")))).alias(f"mh{i}")
-        for i in range(N_HASHES)
+    digests = [
+        F.md5(F.concat(F.lit(f"{b}|"), F.col("gram")))
+        for b in range(N_HASHES // _PERMS_PER_MD5)
     ]
+    aggs = []
+    for i in range(N_HASHES):
+        block, pos = minhash_slice(i)
+        aggs.append(
+            F.min(F.substring(digests[block], pos, 8)).alias(f"mh{i}")
+        )
     return grams.groupBy("doc", "n_grams").agg(*aggs)
 
 
@@ -188,6 +207,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Materialize the banded table ONCE before the self-join: both join
+    # sides share its lineage but not its computation — without this the
+    # whole shingle -> signature chain (the expensive part) executes
+    # twice. banded is 4 rows/doc (proportional to doc count, never to
+    # shingle count), so the checkpoint stays small at corpus scale;
+    # eager localCheckpoint blocks are GC-reclaimed like cands' below.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("doc").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc").alias("b_id"), "band", "sig")
     # cands feeds two consumers (the id semi-join below and the verify

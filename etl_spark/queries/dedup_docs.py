@@ -92,7 +92,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 _MH = ",\n           ".join(
-    f"MIN(md5('{i}|' || gram)) AS mh{i}" for i in range(D.N_HASHES)
+    "MIN(substr(md5('{b}|' || gram), {p}, 8)) AS mh{i}".format(
+        b=D.minhash_slice(i)[0], p=D.minhash_slice(i)[1], i=i
+    )
+    for i in range(D.N_HASHES)
 )
 _BANDS_SQL = "\n      UNION ALL\n".join(
     "      SELECT doc_id, n_grams, {b} AS band, ".format(b=b)
@@ -216,8 +219,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact cosine >= 0.45 over all (a<b)
-    pairs — JVM higher-order-function fold, doubles end to end. The
-    all-pairs form is the rerank kernel; the LSH-bucketed scale path is
-    ann_lsh_topk (queries/similarity.py)."""
+    pairs — JVM higher-order-function fold, doubles end to end. This
+    all-pairs form is the EXPLICIT O(N^2) baseline (the rerank kernel
+    and the recall yardstick); the operator to copy for corpus-scale
+    embedding dedup is dedup_embedding_blocked below, whose plan has no
+    cartesian product."""
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Blocked embedding dedup — the corpus-scale path: an LSH sign-signature
+# blocking key first, so candidate pairing is an equi-join on the block
+# (same shuffle shape as every other key join in the engine), exact
+# cosine only inside blocks. Recall is the LSH trade; the oracle embeds
+# the identical hyperplane literals, so the comparison is exact.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_blocked_oracle() -> str:
+    from etl_spark.queries.similarity import _SIG_SQL
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, e, {_SIG_SQL} AS sig FROM v
+    ),
+    scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))))
+             AS cos_raw
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND(cos_raw, 4) AS cosine
+    FROM scored WHERE cos_raw >= {COSINE_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_blocked", oracle=_dedup_blocked_oracle())
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with LSH-signature blocking: bucket =
+    6-plane sign signature, pairs form only inside a bucket (equi-join,
+    no CartesianProduct anywhere in the plan), exact cosine >= 0.45 as
+    the in-bucket verify. At 10^10 vectors the block key bounds the
+    join's fan-out to bucket size^2 instead of corpus^2 — the named
+    operator for embedding dedup; dedup_embedding_cosine above is the
+    all-pairs recall baseline."""
+    from etl_spark.operators.similarity import lsh_signature
+    from etl_spark.queries.similarity import LSH_PLANES
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sigged = e.withColumn(
+        "sig", lsh_signature(F.col("embedding").cast("array<double>"), LSH_PLANES)
+    )
+    return cosine_pairs(
+        sigged, "vec_id", "embedding", threshold=COSINE_THRESHOLD, block_col="sig"
+    )

@@ -248,3 +248,20 @@ def test_kmeans_sample_guard_trains_on_id_hash_sample(spark):
         df, "vec_id", "embedding", k=4, iters=2, max_training_rows=None
     )
     assert c_all == c_none
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_blocked: the registered operator must not cross-join
+# ---------------------------------------------------------------------------
+def test_blocked_embedding_dedup_has_no_cartesian_product(spark):
+    from etl_spark.queries import load_all
+
+    spec = load_all()["dedup_embedding_blocked"]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # blocked results are a subset of the all-pairs baseline
+    base = load_all()["dedup_embedding_cosine"].fn(spark, "/root/testdata/sf0.001")
+    got = {(r.a_id, r.b_id) for r in df.collect()}
+    allp = {(r.a_id, r.b_id) for r in base.collect()}
+    assert got <= allp
