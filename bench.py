@@ -78,30 +78,33 @@ def _one_ingest(spark, n_events: int, n_epochs: int) -> tuple[float, int]:
     return wall, applied
 
 
-def run_ingest_bench(spark, n_events: int, n_epochs: int = 2, runs: int = 2) -> dict:
+def run_ingest_bench(spark, n_events: int, n_epochs: int = 2, runs: int = 3) -> dict:
     """End-to-end change-events/sec: generate -> ingest all epochs ->
     atomic commits.
 
-    Best-of-``runs`` samples: this host shows multi-minute ambient load
-    bursts (identical runs vary 2-3x) that only ever SLOW a run, so the
-    per-run minimum approximates unloaded-machine throughput — the same
-    estimator bench/scaling.py documents. All samples are reported so a
-    noisy window is visible in the artifact rather than hidden."""
+    Same estimator as the queries: one full warm-up run (JIT, Python
+    workers, page cache), then ``runs`` timed runs, median reported.
+    All samples are committed so a noisy window (this host shows
+    multi-minute ambient 2-3x load bursts) is visible in the artifact
+    rather than hidden."""
     from etl_spark.session import warm_python_workers
 
     warm_python_workers(spark)
+    warm_wall, _ = _one_ingest(spark, n_events, n_epochs)  # warm-up
     walls, applied = [], 0
     for _ in range(runs):
         wall, applied = _one_ingest(spark, n_events, n_epochs)
         walls.append(wall)
-    best = min(walls)
+    med = statistics.median(walls)
     return {
         "events": n_events,
         "epochs": n_epochs,
         "merged_keys": applied,
-        "wall_s": round(best, 2),
+        "wall_s": round(med, 2),
         "wall_s_samples": [round(w, 2) for w in walls],
-        "events_per_sec": round(n_events / best, 1),
+        "warmup_wall_s": round(warm_wall, 2),
+        "estimator": "median_of_%d_after_warmup" % runs,
+        "events_per_sec": round(n_events / med, 1),
     }
 
 
@@ -136,6 +139,7 @@ def main() -> None:
         "ingest": ingest,
         "cpus": cpus,
         "iterations": iters,
+        "estimator": "median_of_%d_after_warmup" % iters,
     }
     print(json.dumps(result))
 

@@ -121,12 +121,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.compact:
-        snap = wh.lineage.compact_files(spark, rebucket=True)
+        from etl_spark.pipeline import compact_warehouse
+
+        snap = compact_warehouse(spark, wh)
         print(f"lineage compacted: now {sum(len(p) for p in snap.files.values())} files")
         return 0
 
     if args.expire_tombstones:
-        snap = wh.pages.expire_tombstones(spark, args.expire_tombstones)
+        from etl_spark.pipeline import expire_warehouse_tombstones
+
+        snap = expire_warehouse_tombstones(spark, wh, args.expire_tombstones)
         print(f"tombstones expired; pages at v{snap.version}")
         return 0
 

@@ -166,6 +166,14 @@ def ingest_epoch(
     return stats
 
 
+# Maintenance ops log under this sentinel epoch: they are not replay
+# epochs (applied-epoch bookkeeping never sees them) but they DO change
+# table state, so the audit trail must cover them (north rule K8 —
+# same role as the reference's audit row per load,
+# /root/reference/etl/audit/logger.py:81-103, extended to maintenance).
+MAINTENANCE_EPOCH = -1
+
+
 def rebucket_warehouse(
     spark: SparkSession, wh: Warehouse, new_n_buckets: int
 ) -> None:
@@ -173,16 +181,57 @@ def rebucket_warehouse(
     rollup partials — their src_bucket keys are defined by the pages
     layout, so a pages rebucket invalidates every existing partial.
     Both commits are ordinary snapshots: rollback-able, replay
-    bookkeeping untouched."""
+    bookkeeping untouched. Appends one maintenance lineage row
+    (rows_in/rows_out = old/new bucket count)."""
     from etl_spark.operators.rollup import LAYOUT, compute_partials
 
-    wh.pages.rebucket(spark, new_n_buckets)
-    fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
-    wh.rollup.commit(
-        fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
-        overwrite_all=True,
-        summary={"operation": "rollup_rebuild_after_rebucket", "layout": LAYOUT},
-    )
+    log = LineageLog(wh.lineage)
+    with log.stage(MAINTENANCE_EPOCH, "maint_rebucket") as rec:
+        rec["rows_in"] = wh.pages.snapshot().n_buckets
+        wh.pages.rebucket(spark, new_n_buckets)
+        fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
+        wh.rollup.commit(
+            fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+            overwrite_all=True,
+            summary={"operation": "rollup_rebuild_after_rebucket", "layout": LAYOUT},
+        )
+        rec["rows_out"] = new_n_buckets
+    log.flush(spark)
+
+
+def compact_warehouse(
+    spark: SparkSession, wh: Warehouse, max_files: int = 64
+) -> "Snapshot":
+    """Collapse lineage/audit file fragmentation (one file per bucket),
+    logged as a maintenance lineage row (rows_in/rows_out = file count
+    before/after). The lineage append lands after the compaction
+    commit, so it adds exactly one fresh file set on top of the
+    compacted layout — the next compaction folds it in."""
+    before = sum(len(p) for p in wh.lineage.snapshot().files.values())
+    log = LineageLog(wh.lineage)
+    with log.stage(MAINTENANCE_EPOCH, "maint_compact_lineage") as rec:
+        snap = wh.lineage.compact_files(spark, max_files=max_files, rebucket=True)
+        rec["rows_in"] = before
+        rec["rows_out"] = sum(len(p) for p in snap.files.values())
+    log.flush(spark)
+    return snap
+
+
+def expire_warehouse_tombstones(
+    spark: SparkSession, wh: Warehouse, older_than
+) -> "Snapshot":
+    """GC pages-table delete markers past the late-event horizon,
+    logged as a maintenance lineage row (rows_out = buckets rewritten;
+    0 rows_out = the call was a no-op)."""
+    log = LineageLog(wh.lineage)
+    with log.stage(MAINTENANCE_EPOCH, "maint_expire_tombstones") as rec:
+        before_v = wh.pages.snapshot().version
+        snap = wh.pages.expire_tombstones(spark, older_than)
+        rec["rows_out"] = (
+            snap.summary.get("buckets", 0) if snap.version != before_v else 0
+        )
+    log.flush(spark)
+    return snap
 
 
 def ingest_range(

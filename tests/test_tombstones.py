@@ -102,6 +102,92 @@ def test_final_state_invariant_across_epoch_splits(spark, tmp_path, strategy):
 
 
 @pytest.mark.parametrize("strategy", ["classic", "spj"])
+def test_expire_tombstones_mid_stream_gc_boundary(spark, tmp_path, strategy):
+    """The GC/correctness boundary, end to end: expire_tombstones runs
+    BETWEEN epochs with horizon H. A marker with warc_ts >= H survives
+    GC, so a late event older than that marker still loses; a genuinely
+    newer post-horizon insert for a GC'd key wins (as it must — the
+    horizon contract is that no event OLDER than an expired marker can
+    still arrive, which is exactly why dropping the marker is safe).
+    The maintenance op itself must land in the lineage audit trail."""
+    from etl_spark.pipeline import expire_warehouse_tombstones
+
+    wh = Warehouse.init(str(tmp_path / f"wh_{strategy}"), n_buckets=2)
+    a, b = "https://x.example/a", "https://x.example/b"
+    e0 = _df(spark, [
+        (1, 0, "I", a, "2024-01-01 00:00:00", b"<p>a v1</p>", None),
+        (2, 0, "D", a, "2024-01-05 00:00:00", None, None),  # >= H: survives GC
+        (3, 0, "I", b, "2024-01-01 00:00:00", b"<p>b v1</p>", None),
+        (4, 0, "D", b, "2024-01-02 00:00:00", None, None),  # < H: expired
+    ])
+    ingest_epoch(spark, wh, e0, 0, strategy=strategy, with_rollup=False)
+
+    expire_warehouse_tombstones(spark, wh, "2024-01-03 00:00:00")
+    tombs = {
+        r.url
+        for r in wh.pages.read(spark, include_deleted=True)
+        .filter("_deleted")
+        .collect()
+    }
+    assert tombs == {a}  # only the post-horizon marker is retained
+
+    e1 = _df(spark, [
+        # late for /a: post-horizon arrival, but older than the
+        # surviving marker (01-05) -> must still lose
+        (5, 1, "I", a, "2024-01-04 00:00:00", b"<p>a late</p>", None),
+        # newer than /b's (expired) marker -> must win
+        (6, 1, "I", b, "2024-01-06 00:00:00", b"<p>b back</p>", None),
+    ])
+    ingest_epoch(spark, wh, e1, 1, strategy=strategy, with_rollup=False)
+    vis = {r.url: r.text for r in wh.pages.read(spark).collect()}
+    assert vis == {b: "b back"}
+
+    # replay bookkeeping untouched by the GC commit: epoch 0 still skips
+    assert ingest_epoch(
+        spark, wh, e0, 0, strategy=strategy, with_rollup=False
+    ).skipped
+
+    # the maintenance op is audited (north rule K8 covers maintenance)
+    lin = (
+        wh.lineage.read(spark)
+        .filter("stage = 'maint_expire_tombstones'")
+        .collect()
+    )
+    assert len(lin) == 1 and lin[0].epoch == -1 and lin[0].rows_out == 1
+
+
+def test_maintenance_ops_write_lineage_rows(spark, tmp_path):
+    """rebucket and lineage-compaction append audit rows too — the
+    whole maintenance lifecycle is visible in --status."""
+    from etl_spark.pipeline import (
+        compact_warehouse,
+        rebucket_warehouse,
+    )
+
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
+    e0 = _df(spark, [
+        (1, 0, "I", "https://x.example/a", "2024-01-01 00:00:00", b"<p>a</p>", None),
+    ])
+    ingest_epoch(spark, wh, e0, 0, with_rollup=True)
+
+    rebucket_warehouse(spark, wh, 4)
+    row = (
+        wh.lineage.read(spark).filter("stage = 'maint_rebucket'").collect()
+    )
+    assert len(row) == 1 and (row[0].rows_in, row[0].rows_out) == (2, 4)
+
+    # compaction below threshold is a no-op but still audited
+    before = sum(len(p) for p in wh.lineage.snapshot().files.values())
+    compact_warehouse(spark, wh, max_files=10_000)
+    row = (
+        wh.lineage.read(spark)
+        .filter("stage = 'maint_compact_lineage'")
+        .collect()
+    )
+    assert len(row) == 1 and row[0].rows_in == before
+
+
+@pytest.mark.parametrize("strategy", ["classic", "spj"])
 def test_newer_insert_resurrects_after_delete(spark, tmp_path, strategy):
     """A genuinely NEWER insert after a delete must win over the
     tombstone (resurrection by newer data is correct LWW)."""
