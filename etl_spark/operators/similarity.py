@@ -341,6 +341,79 @@ def kmeans_cells(
     )
 
 
+def ivf_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    n_probes: int = 2,
+    max_training_rows: int | None = 100_000,
+) -> DataFrame:
+    """End-to-end IVF embedding dedup — the production ANN-dedup shape:
+    build the learned coarse quantizer (:func:`kmeans_cells`), generate
+    candidate pairs by probing each vector's ``n_probes`` nearest cells
+    against the corpus's assigned cells, then exact-cosine rerank and
+    keep ``(a < b)`` pairs with cosine >= threshold.
+
+    Scale shape: every stage is a key equi-join. The probe table is
+    ``n_probes`` rows per vector (linear fan-out); the candidate join is
+    cell-partitioned, so pair count is bounded by cell size x n_probes
+    instead of corpus^2; the rerank is two id equi-joins back to the
+    vectors. Probe #1 is always the assigned cell (same distance fold,
+    same lowest-cell tiebreak), so n_probes=1 degenerates to
+    within-cell dedup and recall grows monotonically with n_probes —
+    the knob a user turns when the blocked-recall/all-pairs gap
+    (dedup_embedding_cosine vs this) matters."""
+    cells, centroids, cell_ids = kmeans_cells(
+        df, id_col, vec_col, k=k, iters=iters,
+        max_training_rows=max_training_rows,
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist_to_literal(F.col("e"), c).alias("d"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, c in zip(cell_ids, centroids)
+        ]
+    )
+    probes = v.select(
+        F.col("vid").alias("p_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probes),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    assigned = cells.select(F.col("vid").alias("c_id"), "cell")
+    pairs = (
+        probes.join(assigned, "cell")
+        .filter(F.col("p_id") != F.col("c_id"))
+        .select(
+            F.least("p_id", "c_id").alias("a_id"),
+            F.greatest("p_id", "c_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("a_id"), F.col("e").alias("a_v"))
+    vb = v.select(F.col("vid").alias("b_id"), F.col("e").alias("b_v"))
+    return (
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos_raw", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "a_id", "b_id", F.round(F.col("cos_raw"), 4).alias("cosine")
+        )
+    )
+
+
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
     """±1 hyperplanes from md5(plane|coord) parity — deterministic,
     engine-independent constants (the oracle SQL embeds the same

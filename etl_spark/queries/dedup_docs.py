@@ -280,3 +280,91 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(
         sigged, "vec_id", "embedding", threshold=COSINE_THRESHOLD, block_col="sig"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF embedding dedup — the full production ANN-dedup pipeline in one
+# query: learn the coarse quantizer (deterministic Lloyd, the same
+# index ann_ivf_topk oracle-checks), generate candidates by multi-probe
+# (2 nearest cells per vector vs assigned cell), exact-cosine rerank.
+# The oracle re-derives the entire chain — k-means, probe ranking,
+# candidate set, rerank — in DuckDB CTE algebra.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_ivf_oracle() -> str:
+    from etl_spark.queries.similarity import (
+        IVF_K,
+        _SQDIST,
+        _V_CTE,
+        _assign_cte,
+        _update_cte,
+    )
+
+    return f"""
+    WITH {_V_CTE},
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, e AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    {_assign_cte("v", "c0", "a0")},
+    {_update_cte("a0", "c1")},
+    {_assign_cte("v", "c1", "a1")},
+    {_update_cte("a1", "c2")},
+    {_assign_cte("v", "c2", "a2")},
+    probe_d AS (
+      SELECT p.vec_id, c.cell, {_SQDIST} AS dist
+      FROM a2 p CROSS JOIN c2 c
+    ),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS prn
+        FROM probe_d
+      ) WHERE prn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(p.vec_id, c.vec_id) AS a_id,
+                      GREATEST(p.vec_id, c.vec_id) AS b_id
+      FROM probes p JOIN a2 c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+    ),
+    reranked AS (
+      SELECT cand.a_id, cand.b_id,
+             list_sum(list_transform(range(1, 65), i -> va.e[i] * vb.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> va.e[i] * va.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> vb.e[i] * vb.e[i]))))
+             AS cos_raw
+      FROM cand
+      JOIN v va ON va.vec_id = cand.a_id
+      JOIN v vb ON vb.vec_id = cand.b_id
+    )
+    SELECT a_id, b_id, ROUND(cos_raw, 4) AS cosine
+    FROM reranked WHERE cos_raw >= {COSINE_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_ivf", oracle=_dedup_ivf_oracle())
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF embedding dedup end-to-end: build the learned IVF index ->
+    multi-probe candidate pairs (each vector probes its 2 nearest
+    cells) -> exact cosine rerank >= 0.45. Every stage is a key
+    equi-join: at 10^10 vectors the candidate count is bounded by cell
+    size x n_probes, the cell column becomes the table partition, and
+    recall is tuned with n_probes instead of re-blocking. The index is
+    the same oracle-checked deterministic Lloyd quantizer as
+    ann_ivf_topk; dedup_embedding_cosine remains the all-pairs recall
+    yardstick."""
+    from etl_spark.operators.similarity import ivf_dedup_pairs
+    from etl_spark.queries.similarity import IVF_ITERS, IVF_K
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_dedup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=COSINE_THRESHOLD,
+        k=IVF_K,
+        iters=IVF_ITERS,
+        n_probes=2,
+    )

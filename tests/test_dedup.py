@@ -265,3 +265,39 @@ def test_blocked_embedding_dedup_has_no_cartesian_product(spark):
     got = {(r.a_id, r.b_id) for r in df.collect()}
     allp = {(r.a_id, r.b_id) for r in base.collect()}
     assert got <= allp
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_ivf: the end-to-end ANN-dedup pipeline
+# ---------------------------------------------------------------------------
+def test_ivf_dedup_no_cartesian_and_subset_of_allpairs(spark):
+    from etl_spark.queries import load_all
+
+    reg = load_all()
+    df = reg["dedup_embedding_ivf"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.a_id, r.b_id) for r in df.collect()}
+    allp = {
+        (r.a_id, r.b_id)
+        for r in reg["dedup_embedding_cosine"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got <= allp
+
+
+def test_ivf_dedup_full_probe_recovers_all_pairs(spark):
+    """n_probes = k probes every cell -> candidate set covers every
+    pair -> exactly the all-pairs result (the recall knob's ceiling)."""
+    from etl_spark.operators.similarity import cosine_pairs, ivf_dedup_pairs
+    from etl_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = ivf_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, k=4, iters=1, n_probes=4
+    )
+    base = cosine_pairs(e, "vec_id", "embedding", threshold=0.45)
+    got = {(r.a_id, r.b_id, r.cosine) for r in full.collect()}
+    want = {(r.a_id, r.b_id, r.cosine) for r in base.collect()}
+    assert got == want
