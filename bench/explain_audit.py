@@ -80,6 +80,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas"],
         ["Exchange", "CartesianProduct"],
     ),
+    # blocked embedding dedup: the whole point is the equi-join on the
+    # LSH signature — a cartesian product means the blocking key was lost
+    "dedup_embedding_blocked": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # IVF dedup end-to-end: candidate generation and rerank are key
+    # equi-joins; only the all-pairs baseline may cross-join
+    "dedup_embedding_ivf": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "ann_multiprobe_topk": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 # column-pruning check: (query, scan relation substring, pruned ReadSchema)
