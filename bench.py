@@ -139,7 +139,11 @@ def main() -> None:
         "ingest": ingest,
         "cpus": cpus,
         "iterations": iters,
-        "estimator": "median_of_%d_after_warmup" % iters,
+        # per-component: ingest always runs its own fixed run count
+        "estimator": {
+            "queries": "median_of_%d_after_warmup" % iters,
+            "ingest": ingest["estimator"],
+        },
     }
     print(json.dumps(result))
 

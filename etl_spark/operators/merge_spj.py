@@ -49,6 +49,25 @@ from etl_spark.operators.merge import MergeStats, evolve_for_delta
 
 OP_COL = "op"
 
+# Sentinel for null tie-break values (arbitration already treats null
+# as smallest-possible): tie-break columns cross the Arrow boundary as
+# a sentinel-filled NON-NULL long shadow (``<col>__tb``) because
+# applyInPandas renders a long-with-nulls column as float64 — already
+# rounded above 2^53 before any pandas-side cast could save it. The
+# kernel restores exact nullable Int64 from the shadow. -2^63 itself is
+# therefore reserved (a real seq of -2^63 is indistinguishable from
+# null, which the fillna arbitration conflated anyway).
+TB_SENTINEL = -(2**63)
+
+
+def _as_exact_int64(s: pd.Series) -> pd.Series:
+    """Nullable Int64 WITHOUT a float64 detour when the input already is
+    one — to_numeric on an exact Int64 column must never get the chance
+    to round values above 2^53."""
+    if str(s.dtype) == "Int64":
+        return s
+    return pd.to_numeric(s, errors="coerce").astype("Int64")
+
 
 def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
     """Coerce pandas dtypes so Arrow conversion round-trips the Spark
@@ -61,8 +80,9 @@ def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
             pdf[c] = pd.to_datetime(pdf[c])
         elif isinstance(f.dataType, T.LongType):
             # outer-join NaNs turn int64 into float64; nullable Int64
-            # round-trips to Arrow int64-with-nulls losslessly
-            pdf[c] = pd.to_numeric(pdf[c], errors="coerce").astype("Int64")
+            # round-trips to Arrow int64-with-nulls losslessly (and an
+            # already-exact Int64 column must not detour via float64)
+            pdf[c] = _as_exact_int64(pdf[c])
         elif isinstance(f.dataType, T.BooleanType):
             # null tombstone flag (pre-column files) means live
             pdf[c] = (
@@ -104,18 +124,27 @@ def make_bucket_merger(
         bucket = int(pdf[BUCKET_COL].iloc[0])
 
         # 1. LWW winners (keep-last over the ascending order tuple).
-        # Tie-break columns go through pandas nullable Int64 BEFORE any
-        # sort/merge: the outer merge would otherwise upcast int64-with-
-        # nulls to float64, losing exact comparison above 2^53.
+        # Tie-break columns are restored to exact nullable Int64 from
+        # their sentinel-filled shadow when the driver shipped one
+        # (merge_epoch_spj does): the shadow arrives as exact int64 —
+        # the nullable original would arrive as float64, rounded above
+        # 2^53 before any pandas-side recovery. Direct-kernel callers
+        # without a shadow fall back to the to_numeric cast (exact only
+        # when Arrow delivered int64, i.e. the group had no nulls).
         # na_position='first' matches the JVM max-struct order (nulls
         # smallest), so a null-seq event loses a tied-ts dedup to a
         # concrete-seq one exactly as on the classic path.
         tb_cols = order_cols[1:]
         for c in tb_cols:
-            if c in pdf.columns:
-                pdf = pdf.assign(
-                    **{c: pd.to_numeric(pdf[c], errors="coerce").astype("Int64")}
+            shadow = f"{c}__tb"
+            if shadow in pdf.columns:
+                exact = pdf[shadow].astype("int64")
+                restored = pd.Series(exact, dtype="Int64").mask(
+                    exact == TB_SENTINEL
                 )
+                pdf = pdf.drop(columns=[shadow]).assign(**{c: restored})
+            elif c in pdf.columns:
+                pdf = pdf.assign(**{c: _as_exact_int64(pdf[c])})
         winners = (
             pdf.sort_values(order_cols, kind="mergesort", na_position="first")
             .drop_duplicates(key_cols, keep="last")
@@ -182,16 +211,8 @@ def make_bucket_merger(
             # NaN comparison may silently drop a key). Both sides are
             # nullable Int64 by now, so the comparison is exact integer
             # order across the full int64 range — no float64 detour.
-            cur_tb_f = (
-                pd.to_numeric(cur_tb, errors="coerce")
-                .astype("Int64")
-                .fillna(-(2**63))
-            )
-            d_tb = (
-                pd.to_numeric(merged[tb_col], errors="coerce")
-                .astype("Int64")
-                .fillna(-(2**63))
-            )
+            cur_tb_f = _as_exact_int64(cur_tb).fillna(TB_SENTINEL)
+            d_tb = _as_exact_int64(merged[tb_col]).fillna(TB_SENTINEL)
             newer = (merged[ts_col] > cur_ts) | (
                 (merged[ts_col] == cur_ts) & (d_tb >= cur_tb_f)
             )
@@ -301,6 +322,16 @@ def merge_epoch_spj(
             for c in delta.columns
         ]
     )
+    # Ship each tie-break column as a sentinel-filled non-null long
+    # shadow so it crosses the Arrow boundary as exact int64 (see
+    # TB_SENTINEL above); the kernel restores nullable Int64 and drops
+    # the shadow before writing.
+    for c in order_cols[1:]:
+        if c in delta.columns:
+            delta = delta.withColumn(
+                f"{c}__tb",
+                F.coalesce(F.col(c).cast("long"), F.lit(TB_SENTINEL)),
+            )
     bucketed = delta.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
     out_schema = T.StructType(
         schema.fields + [T.StructField(BUCKET_COL, T.IntegerType(), False)]

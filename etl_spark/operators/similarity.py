@@ -187,23 +187,9 @@ def multiprobe_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _sq_dist_to_literal(F.col("qv"), c).alias("d"),
-                F.lit(int(cid)).alias("cell"),
-            )
-            for cid, c in zip(cell_ids, centroids)
-        ]
-    )
     q = q.withColumn(
         "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(probe_structs), 1, n_probes),
-                lambda s: s["cell"],
-            )
-        ),
+        F.explode(_probe_cells(F.col("qv"), centroids, cell_ids, n_probes)),
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
@@ -237,6 +223,31 @@ def _sq_dist_to_literal(vec: F.Column, centroid: list[float]) -> F.Column:
         F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _probe_cells(
+    vec: F.Column,
+    centroids: list[list[float]],
+    cell_ids: list[int],
+    n_probes: int,
+) -> F.Column:
+    """The ``n_probes`` nearest cell ids for a vector, as an array
+    expression — the ONE definition of the oracle-pinned probe ranking
+    (squared-L2 fold in index order, ties to the lowest cell id) shared
+    by multiprobe search and IVF dedup; a tweak here diverges both
+    against their oracles together, never one silently."""
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist_to_literal(vec, c).alias("d"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, c in zip(cell_ids, centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(probe_structs), 1, n_probes), lambda s: s["cell"]
     )
 
 
@@ -287,8 +298,13 @@ def kmeans_cells(
     )
     train = v
     if max_training_rows is not None:
-        n = v.count()
-        if n > max_training_rows:
+        # Overflow probe first: count(limit(cap+1)) stops scanning at
+        # the cap, so a bounded input never pays a full-corpus count
+        # just to learn it is under the cap; the exact count (needed
+        # for sample_mod) is computed only when actually over.
+        probe = v.limit(max_training_rows + 1).count()
+        if probe > max_training_rows:
+            n = v.count()
             sample_mod = -(-n // max_training_rows)  # ceil
             train = v.filter(
                 F.pmod(F.xxhash64(F.col("vid")), F.lit(sample_mod)) == 0
@@ -373,22 +389,10 @@ def ivf_dedup_pairs(
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _sq_dist_to_literal(F.col("e"), c).alias("d"),
-                F.lit(int(cid)).alias("cell"),
-            )
-            for cid, c in zip(cell_ids, centroids)
-        ]
-    )
     probes = v.select(
         F.col("vid").alias("p_id"),
         F.explode(
-            F.transform(
-                F.slice(F.array_sort(probe_structs), 1, n_probes),
-                lambda s: s["cell"],
-            )
+            _probe_cells(F.col("e"), centroids, cell_ids, n_probes)
         ).alias("cell"),
     )
     assigned = cells.select(F.col("vid").alias("c_id"), "cell")

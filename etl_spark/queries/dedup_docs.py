@@ -367,4 +367,6 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=IVF_K,
         iters=IVF_ITERS,
         n_probes=2,
+        # oracle trains full Lloyd — see ann_ivf_topk's note
+        max_training_rows=None,
     )

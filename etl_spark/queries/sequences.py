@@ -22,10 +22,11 @@ MAX_CHUNK_WORDS = 64
 # builder.py:428-443: per-MMSI points sorted by time -> one sequence
 # row). One shuffle on the key; collect_list gets map-side partials and
 # array_sort orders inside the executor, so there is no per-key window
-# sort. Output stays scalar-friendly: primitive arrays (values,
-# event ids) plus an md5 fingerprint of the full (ts, event_id)
-# sequence — the fingerprint pins exact order and content through a
-# plain string column.
+# sort. Output is all-scalar: the assembled array is verified through
+# md5 fingerprints of the ordered (ts, event_id) sequence and of the
+# value payload, plus the first/last endpoints — plain string/int
+# columns a pandas-based harness can lexsort (raw array columns
+# cannot be).
 # ---------------------------------------------------------------------------
 @query(
     "sequence_assembly",

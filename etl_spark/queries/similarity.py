@@ -153,8 +153,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are file-pruned joins (probe-adjacent-cells is the recall
     knob, same plan shape with IN (cells))."""
     e = load_table(spark, sf_dir, "embeddings")
+    # max_training_rows=None: this query's oracle re-derives the FULL
+    # Lloyd loop in SQL, so the engine must train on every row too —
+    # the id-hash sample guard (the production default, which the
+    # oracle's CTE algebra cannot replicate: no xxhash64 in DuckDB)
+    # would silently diverge past 100k vectors. The registered test
+    # tables are bounded; corpus-scale callers use the guarded default.
     cells, _, _ = S.kmeans_cells(
-        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS
+        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS,
+        max_training_rows=None,
     )
     with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
     queries = with_cells.filter(F.col("vec_id") < N_QUERIES)
@@ -222,8 +229,10 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     empties during Lloyd leaves non-contiguous survivors; positional
     ids would probe the wrong cells)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # max_training_rows=None: oracle trains full Lloyd (see ann_ivf_topk)
     cells, centroids, cell_ids = S.kmeans_cells(
-        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS
+        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS,
+        max_training_rows=None,
     )
     with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
     queries = with_cells.filter(F.col("vec_id") < N_QUERIES)

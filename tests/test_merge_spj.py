@@ -128,3 +128,55 @@ def test_equal_ts_cross_epoch_arbitrates_by_seq(spark, tmp_path, strategy):
     row = wh.pages.read(spark).collect()[0]
     assert row.text == "winner seq12"
     assert row.seq == 12
+
+
+def test_seq_above_2_53_exact_with_null_seq_in_group(spark, tmp_path):
+    """Arrow renders a long-with-nulls column as float64 in
+    applyInPandas, which rounds seqs above 2^53 — 2^60 and 2^60+1
+    become the same float. The pipeline never feeds the kernel nulls
+    (clean_changes drops them), so this exercises the DIRECT
+    merge_epoch_spj API: with a null-seq event in the SAME bucket
+    group, the 2^60+1 event must beat the 2^60 event on a tied
+    warc_ts, and the stored seq must round-trip bit-exactly (the
+    sentinel-shadow transport, not a lossy float64 detour)."""
+    from etl_spark.operators.merge_spj import merge_epoch_spj
+
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=1)
+    ts = "2024-01-01 00:00:00"
+    schema = (
+        "seq long, epoch long, op string, url string, warc_ts string, "
+        "html binary, lang string"
+    )
+    url = "https://a.example/big"
+    big = 2**60
+    e0 = spark.createDataFrame(
+        [
+            # null-seq event for another key: without the shadow, this
+            # forces the bucket's whole seq column to lossy float64
+            (None, 0, "I", "https://a.example/other", ts, b"<p>x</p>", None),
+            (big, 0, "I", url, ts, b"<p>low</p>", None),
+            (big + 1, 0, "U", url, ts, b"<p>high</p>", None),
+        ],
+        schema,
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    merge_epoch_spj(spark, wh.pages, e0, 0)
+    row = {r.url: r for r in wh.pages.read(spark).collect()}[url]
+    assert row.text == "high"
+    assert row.seq == big + 1  # exact int64, not a rounded float
+
+    # cross-epoch: stored 2^60+1 must beat a later 2^60 on tied ts
+    e1 = spark.createDataFrame(
+        [
+            (None, 1, "U", "https://a.example/other", ts, b"<p>y</p>", None),
+            (big, 1, "U", url, ts, b"<p>stale</p>", None),
+        ],
+        schema,
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    merge_epoch_spj(spark, wh.pages, e1, 1)
+    row = {r.url: r for r in wh.pages.read(spark).collect()}[url]
+    assert row.text == "high" and row.seq == big + 1
+    # the null-seq event's key survives with a null (not sentinel) seq
+    other = {r.url: r for r in wh.pages.read(spark).collect()}[
+        "https://a.example/other"
+    ]
+    assert other.seq is None
