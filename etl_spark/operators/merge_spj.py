@@ -61,11 +61,23 @@ TB_SENTINEL = -(2**63)
 
 
 def _as_exact_int64(s: pd.Series) -> pd.Series:
-    """Nullable Int64 WITHOUT a float64 detour when the input already is
-    one — to_numeric on an exact Int64 column must never get the chance
-    to round values above 2^53."""
+    """Nullable Int64 WITHOUT a float64 detour wherever exactness is
+    still recoverable: an Int64 column passes through, and an
+    object-dtype column of ints + None converts element-wise —
+    to_numeric would upcast the whole column to float64 the moment one
+    null is present, rounding values above 2^53 before the Int64 cast
+    could save them. Only genuinely numeric-but-inexact inputs (float64
+    delivered by Arrow, already rounded upstream) take the to_numeric
+    path."""
     if str(s.dtype) == "Int64":
         return s
+    if s.dtype == object:
+        try:
+            return pd.Series(
+                pd.array(s.to_numpy(), dtype="Int64"), index=s.index
+            )
+        except (TypeError, ValueError):
+            pass  # non-integer junk: coerce lossily below
     return pd.to_numeric(s, errors="coerce").astype("Int64")
 
 

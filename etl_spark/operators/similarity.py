@@ -166,7 +166,8 @@ def multiprobe_topk(
     centroids: list[list[float]],
     n_probes: int = 2,
     k: int = 5,
-    cell_ids: list[int] | None = None,
+    *,
+    cell_ids: list[int],
 ) -> DataFrame:
     """IVF search probing the ``n_probes`` nearest cells per query —
     the recall knob on top of :func:`partitioned_topk`'s single-probe
@@ -180,9 +181,13 @@ def multiprobe_topk(
     id (array_sort over (dist, cell) structs) — so ``n_probes=1``
     reproduces the assigned cell exactly and ``n_probes=len(centroids)``
     degenerates to the brute-force ranking.
+
+    ``cell_ids`` is keyword-required on purpose: it must be the ids
+    kmeans_cells returned alongside ``centroids``. A positional
+    ``range(len(centroids))`` default would silently mislabel
+    centroids whenever a Lloyd cell emptied (surviving ids become
+    non-contiguous) — probes would then target nonexistent cells.
     """
-    if cell_ids is None:
-        cell_ids = list(range(len(centroids)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -365,6 +370,7 @@ def ivf_dedup_pairs(
     k: int = 8,
     iters: int = 2,
     n_probes: int = 2,
+    dim: int = DIM,
     max_training_rows: int | None = 100_000,
 ) -> DataFrame:
     """End-to-end IVF embedding dedup — the production ANN-dedup shape:
@@ -383,7 +389,7 @@ def ivf_dedup_pairs(
     the knob a user turns when the blocked-recall/all-pairs gap
     (dedup_embedding_cosine vs this) matters."""
     cells, centroids, cell_ids = kmeans_cells(
-        df, id_col, vec_col, k=k, iters=iters,
+        df, id_col, vec_col, k=k, iters=iters, dim=dim,
         max_training_rows=max_training_rows,
     )
     v = df.select(

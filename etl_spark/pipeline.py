@@ -206,7 +206,9 @@ def compact_warehouse(
     logged as a maintenance lineage row (rows_in/rows_out = file count
     before/after). The lineage append lands after the compaction
     commit, so it adds exactly one fresh file set on top of the
-    compacted layout — the next compaction folds it in."""
+    compacted layout — the next compaction folds it in. Returns the
+    table head AFTER the lineage append (what a reader sees now), not
+    the intermediate compaction snapshot."""
     before = sum(len(p) for p in wh.lineage.snapshot().files.values())
     log = LineageLog(wh.lineage)
     with log.stage(MAINTENANCE_EPOCH, "maint_compact_lineage") as rec:
@@ -214,7 +216,7 @@ def compact_warehouse(
         rec["rows_in"] = before
         rec["rows_out"] = sum(len(p) for p in snap.files.values())
     log.flush(spark)
-    return snap
+    return wh.lineage.snapshot()
 
 
 def expire_warehouse_tombstones(

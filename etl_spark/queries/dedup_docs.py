@@ -295,6 +295,7 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_ivf_oracle() -> str:
     from etl_spark.queries.similarity import (
         IVF_K,
+        N_PROBES,
         _SQDIST,
         _V_CTE,
         _assign_cte,
@@ -322,7 +323,7 @@ def _dedup_ivf_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dist ASC, cell ASC) AS prn
         FROM probe_d
-      ) WHERE prn <= 2
+      ) WHERE prn <= {N_PROBES}
     ),
     cand AS (
       SELECT DISTINCT LEAST(p.vec_id, c.vec_id) AS a_id,
@@ -356,7 +357,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk; dedup_embedding_cosine remains the all-pairs recall
     yardstick."""
     from etl_spark.operators.similarity import ivf_dedup_pairs
-    from etl_spark.queries.similarity import IVF_ITERS, IVF_K
+    from etl_spark.queries.similarity import IVF_ITERS, IVF_K, N_PROBES
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_dedup_pairs(
@@ -366,7 +367,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=COSINE_THRESHOLD,
         k=IVF_K,
         iters=IVF_ITERS,
-        n_probes=2,
+        n_probes=N_PROBES,
         # oracle trains full Lloyd — see ann_ivf_topk's note
         max_training_rows=None,
     )

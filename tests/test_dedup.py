@@ -301,3 +301,25 @@ def test_ivf_dedup_full_probe_recovers_all_pairs(spark):
     got = {(r.a_id, r.b_id, r.cosine) for r in full.collect()}
     want = {(r.a_id, r.b_id, r.cosine) for r in base.collect()}
     assert got == want
+
+
+def test_ivf_dedup_pairs_forwards_dim(spark):
+    """ivf_dedup_pairs must thread ``dim`` into the quantizer it
+    builds: with 4-dim embeddings and dim=4, two tight 4-d blobs dedup
+    within themselves and never across — a default-64-dim quantizer
+    would average beyond the arrays and null out every distance."""
+    from etl_spark.operators.similarity import ivf_dedup_pairs
+
+    rows = []
+    for i in range(12):
+        base = [9.0, 0.0, 0.0, 9.0] if i % 2 == 0 else [0.0, 9.0, 9.0, 0.0]
+        rows.append((i, [v + (i % 3) * 0.001 for v in base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = ivf_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, k=2, iters=2,
+        n_probes=1, dim=4,
+    ).collect()
+    assert pairs  # near-identical blob members found
+    for r in pairs:
+        assert r.a_id % 2 == r.b_id % 2  # never across blobs
+        assert r.cosine >= 0.99

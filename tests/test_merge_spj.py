@@ -180,3 +180,25 @@ def test_seq_above_2_53_exact_with_null_seq_in_group(spark, tmp_path):
         "https://a.example/other"
     ]
     assert other.seq is None
+
+
+def test_as_exact_int64_object_dtype_no_float_detour():
+    """An object-dtype column of Python ints + None (the shape pandas
+    merges produce) must convert element-wise: to_numeric would upcast
+    the whole column to float64 because of the null, collapsing 2^60
+    and 2^60+1 before the Int64 cast. Pure-pandas unit test for the
+    direct-kernel fallback path."""
+    import pandas as pd
+
+    from etl_spark.operators.merge_spj import _as_exact_int64
+
+    big = 2**60
+    s = pd.Series([big, big + 1, None], dtype=object)
+    out = _as_exact_int64(s)
+    assert str(out.dtype) == "Int64"
+    assert out.iloc[0] == big and out.iloc[1] == big + 1  # distinct
+    assert pd.isna(out.iloc[2])
+    # already-exact inputs pass through losslessly too
+    assert _as_exact_int64(out).iloc[1] == big + 1
+    exact = pd.Series([big, big + 1], dtype="int64")
+    assert list(_as_exact_int64(exact)) == [big, big + 1]
