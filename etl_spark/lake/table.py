@@ -211,6 +211,16 @@ class LakeTable:
     def applied_epochs(self) -> set[int]:
         return set(self.snapshot().applied_epochs)
 
+    def _next_version(self) -> int:
+        """Allocate version ids ABOVE every existing snapshot, not
+        head+1: after ``rollback(v)`` the next commit starts a new
+        branch, and head+1 would reuse — and overwrite, manifest and
+        data directory both — the rolled-back branch's numbers,
+        destroying files that later snapshots still reference. With
+        max+1, the abandoned branch stays readable for time travel
+        (same rule Iceberg follows: snapshot ids are never reused)."""
+        return self.versions()[-1] + 1
+
     # -- read ---------------------------------------------------------------
     def read(
         self,
@@ -321,7 +331,7 @@ class LakeTable:
         head = self.snapshot()
         if applied_epoch is not None and applied_epoch in head.applied_epochs:
             return head  # exactly-once: epoch already applied
-        version = head.version + 1
+        version = self._next_version()
         if new_data is not None:
             written = self._write_data(
                 new_data, version, already_partitioned=already_bucket_partitioned
@@ -354,10 +364,14 @@ class LakeTable:
         return snap
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
-        """Append-only commit (the lineage/audit path: new files land in
-        fresh buckets keyed by this version so nothing is rewritten)."""
+        """Append-only commit (the lineage/audit path): rows hash into
+        the table's fixed ``n_buckets`` and the new files EXTEND each
+        bucket's file list — nothing existing is rewritten. Bucket
+        count stays bounded; what grows per append is files-per-bucket,
+        which is why append-mode tables need periodic
+        ``compact_files``."""
         head = self.snapshot()
-        version = head.version + 1
+        version = self._next_version()
         with_bucket = df.withColumn(
             BUCKET_COL, bucket_expr(head.key_cols, head.n_buckets)
         )
@@ -404,7 +418,10 @@ class LakeTable:
         (Iceberg's expire_snapshots analog; keeps time travel shallow.)"""
         versions = self.versions()
         head = self.head_version()
-        keep = set(versions[-keep_last:]) | {head}
+        # keep_last=0 must mean "only what HEAD needs" — a bare
+        # versions[-0:] slice would be the whole list (keep everything).
+        keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+        keep.add(head)
         live_files: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
@@ -436,14 +453,19 @@ class LakeTable:
         after every N epochs.
 
         ``rebucket=False`` (default) preserves each row's EXISTING
-        bucket — mandatory for tables with a non-default layout (the
-        rollup table identity-buckets on src_bucket and its epoch
+        stored bucket — mandatory for tables with a non-default layout
+        (the rollup table identity-buckets on src_bucket and its epoch
         commits depend on that manifest keying; re-hashing would
         scatter rows across manifest keys and corrupt later
         bucket-granular replaces). ``rebucket=True`` re-derives buckets
-        from the key columns — for APPEND-mode tables (lineage), whose
-        buckets are version-keyed and unbounded in count, collapsing
-        them back to the table's n_buckets is the entire point."""
+        from the key columns instead of trusting the stored values —
+        for append-mode tables (lineage) whose rows were hashed with
+        the same ``bucket_expr`` this re-derivation is a no-op, so it
+        is only worth paying when stored bucket values are suspect
+        (e.g. files imported from elsewhere). Either way the bucket
+        COUNT is already bounded at ``n_buckets``; what compaction
+        collapses is the per-bucket file lists the append path grows
+        one set per epoch."""
         snap = self.snapshot()
         n_files = sum(len(p) for p in snap.files.values())
         if n_files <= max_files:
@@ -499,9 +521,14 @@ class LakeTable:
             },
         )
 
-    def expire_tombstones(self, spark: SparkSession, older_than) -> Snapshot:
-        """Drop delete markers whose ``warc_ts`` is older than the
-        stream's late-event horizon (a timestamp or literal string).
+    def expire_tombstones(
+        self, spark: SparkSession, older_than, event_time_col: str
+    ) -> Snapshot:
+        """Drop delete markers whose ``event_time_col`` is older than
+        the stream's late-event horizon (a timestamp or literal
+        string). The event-time column is the caller's to name — the
+        table format is schema-agnostic; the pipeline layer supplies
+        the pages convention (``warc_ts``).
 
         Past the horizon no event older than the marker can still
         arrive, so the marker is dead weight — dropping it bounds
@@ -517,7 +544,7 @@ class LakeTable:
             return snap
         horizon = F.to_timestamp(F.lit(older_than)) if isinstance(older_than, str) else F.lit(older_than)
         is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
-            F.col("warc_ts") < horizon
+            F.col(event_time_col) < horizon
         )
         all_rows = self.read(spark, with_bucket=True, include_deleted=True)
         touched = [

@@ -148,7 +148,14 @@ def merge_epoch(
         if cached:
             winners.unpersist()
         head = table.commit(
-            None, applied_epoch=epoch, summary={"operation": "merge", "epoch": epoch, "rows": 0}
+            None,
+            applied_epoch=epoch,
+            summary={
+                "operation": "merge",
+                "epoch": epoch,
+                "rows": 0,
+                "touched_list": [],  # "nothing touched", not "unknown"
+            },
         )
         return MergeStats(epoch, False, 0, 0, head.version)
 

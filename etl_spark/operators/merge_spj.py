@@ -314,7 +314,15 @@ def merge_epoch_spj(
         head = table.commit(
             None,
             applied_epoch=epoch,
-            summary={"operation": "merge_spj", "epoch": epoch, "rows": 0},
+            summary={
+                "operation": "merge_spj",
+                "epoch": epoch,
+                "rows": 0,
+                # present-but-empty so a rollup (re)run for this epoch
+                # sees "nothing touched" instead of "unknown" (which
+                # would route to a full refresh for a no-op epoch)
+                "touched_list": [],
+            },
         )
         return MergeStats(epoch, False, 0, 0, head.version)
 

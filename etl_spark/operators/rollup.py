@@ -35,8 +35,13 @@ from etl_spark.operators.clean import domain_of
 
 # Manifest-layout stamp carried in every rollup commit summary: the
 # bucket-granular replace below is only valid when manifest keys are
-# src_buckets themselves (identity bucketing).
-LAYOUT = "identity:src_bucket"
+# src_buckets themselves (identity bucketing) AND the src_bucket ids
+# were derived under the pages table's CURRENT bucket count — the
+# count is baked into the stamp so a pages rebucket whose rollup
+# rebuild never landed (crash window) reads as unstamped and gets a
+# full refresh instead of silently double-counting old-layout partials.
+def layout_stamp(pages_n_buckets: int) -> str:
+    return f"identity:src_bucket:{pages_n_buckets}"
 
 ROLLUP_SCHEMA = T.StructType(
     [
@@ -86,17 +91,27 @@ def rollup_domain_stats(
     old entry is dropped from the manifest."""
     if epoch in rollup.applied_epochs():
         return
-    if touched_buckets is None:
-        touched_buckets = pages.snapshot().summary.get("touched_list")
-    summary = {"operation": "rollup", "epoch": epoch, "layout": LAYOUT}
+    psnap = pages.snapshot()
+    if touched_buckets is None and psnap.summary.get("epoch") == epoch:
+        # Head-summary fallback is only trustworthy when the pages head
+        # IS this epoch's merge commit (the normal call site runs
+        # rollup immediately after the merge). Any other head — a later
+        # maintenance commit, a replay repair several epochs on — would
+        # hand us some OTHER epoch's touched list; leaving None routes
+        # to the always-correct full refresh instead.
+        touched_buckets = psnap.summary.get("touched_list")
+    stamp = layout_stamp(psnap.n_buckets)
+    summary = {"operation": "rollup", "epoch": epoch, "layout": stamp}
     # Layout guard: bucket-granular replace is only sound against a
-    # manifest whose keys ARE src_buckets. A rollup table written by an
-    # older (hash-bucketed) engine, or any non-empty table missing the
-    # layout stamp, gets ONE full refresh — which rewrites it into the
-    # identity layout and stamps it — instead of a partial replace that
-    # would drop unrelated partials and double-count surviving ones.
+    # manifest whose keys ARE src_buckets under the pages table's
+    # current bucket count. A rollup table written by an older
+    # (hash-bucketed) engine, stamped under a different pages bucket
+    # count (rebucket crash window), or any non-empty table missing the
+    # stamp, gets ONE full refresh — which rewrites it into the
+    # identity layout and re-stamps it — instead of a partial replace
+    # that would drop unrelated partials and double-count survivors.
     head = rollup.snapshot()
-    stamped = head.summary.get("layout") == LAYOUT
+    stamped = head.summary.get("layout") == stamp
     has_data = any(head.files.values())
     if touched_buckets is None or (has_data and not stamped):
         # full refresh (still pure + idempotent)

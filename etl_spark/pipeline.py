@@ -96,10 +96,32 @@ def ingest_epoch(
     the epoch — re-running any prefix or suffix of epochs converges to
     the same table state (north rule).
     """
+    if strategy not in ("spj", "classic"):
+        raise ValueError(
+            f"unknown merge strategy {strategy!r}: expected 'spj' or 'classic'"
+        )
     log = LineageLog(wh.lineage if with_lineage else None)
 
     if epoch in wh.pages.applied_epochs():
         head = wh.pages.snapshot()
+        # Crash-window repair: the pages merge committed but the rollup
+        # commit never landed (process died between the two). The pages
+        # guard alone would skip the epoch forever and leave the rollup
+        # permanently stale; rollup_domain_stats has its own
+        # applied-epoch guard, so finishing the job here keeps replay
+        # convergent across BOTH tables and stays a no-op when the
+        # rollup did land.
+        if with_rollup and epoch not in wh.rollup.applied_epochs():
+            touched = (
+                head.summary.get("touched_list")
+                if head.summary.get("epoch") == epoch
+                else None  # older head: full refresh, always correct
+            )
+            with log.stage(epoch, "rollup") as rec:
+                rollup_domain_stats(
+                    spark, wh.pages, wh.rollup, epoch, touched_buckets=touched
+                )
+            log.flush(spark)
         return MergeStats(epoch, True, 0, 0, head.version)
 
     if callable(changes):
@@ -160,7 +182,14 @@ def ingest_epoch(
 
     if with_rollup:
         with log.stage(epoch, "rollup") as rec:
-            rollup_domain_stats(spark, wh.pages, wh.rollup, epoch)
+            # `touched` is already in hand from delta_stats — passing it
+            # keeps an empty epoch a metadata-only rollup commit (the
+            # head-summary fallback would find no touched_list on a
+            # rows=0 merge and full-refresh for an epoch that changed
+            # nothing).
+            rollup_domain_stats(
+                spark, wh.pages, wh.rollup, epoch, touched_buckets=touched
+            )
 
     log.flush(spark)
     return stats
@@ -183,17 +212,25 @@ def rebucket_warehouse(
     Both commits are ordinary snapshots: rollback-able, replay
     bookkeeping untouched. Appends one maintenance lineage row
     (rows_in/rows_out = old/new bucket count)."""
-    from etl_spark.operators.rollup import LAYOUT, compute_partials
+    from etl_spark.operators.rollup import compute_partials, layout_stamp
 
     log = LineageLog(wh.lineage)
     with log.stage(MAINTENANCE_EPOCH, "maint_rebucket") as rec:
         rec["rows_in"] = wh.pages.snapshot().n_buckets
         wh.pages.rebucket(spark, new_n_buckets)
+        # Crash window between the two commits is safe: the rollup head
+        # would still carry the OLD bucket count's stamp, which no
+        # longer matches layout_stamp(new_n_buckets), so the next
+        # epoch's rollup_domain_stats full-refreshes instead of
+        # partial-replacing against a stale layout.
         fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
         wh.rollup.commit(
             fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
             overwrite_all=True,
-            summary={"operation": "rollup_rebuild_after_rebucket", "layout": LAYOUT},
+            summary={
+                "operation": "rollup_rebuild_after_rebucket",
+                "layout": layout_stamp(new_n_buckets),
+            },
         )
         rec["rows_out"] = new_n_buckets
     log.flush(spark)
@@ -212,7 +249,9 @@ def compact_warehouse(
     before = sum(len(p) for p in wh.lineage.snapshot().files.values())
     log = LineageLog(wh.lineage)
     with log.stage(MAINTENANCE_EPOCH, "maint_compact_lineage") as rec:
-        snap = wh.lineage.compact_files(spark, max_files=max_files, rebucket=True)
+        # rebucket=False: lineage rows carry their stored (correctly
+        # hashed) bucket ids; re-deriving them would be a no-op spend.
+        snap = wh.lineage.compact_files(spark, max_files=max_files)
         rec["rows_in"] = before
         rec["rows_out"] = sum(len(p) for p in snap.files.values())
     log.flush(spark)
@@ -228,7 +267,9 @@ def expire_warehouse_tombstones(
     log = LineageLog(wh.lineage)
     with log.stage(MAINTENANCE_EPOCH, "maint_expire_tombstones") as rec:
         before_v = wh.pages.snapshot().version
-        snap = wh.pages.expire_tombstones(spark, older_than)
+        snap = wh.pages.expire_tombstones(
+            spark, older_than, event_time_col="warc_ts"
+        )
         rec["rows_out"] = (
             snap.summary.get("buckets", 0) if snap.version != before_v else 0
         )

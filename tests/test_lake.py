@@ -128,3 +128,43 @@ def test_compact_files_collapses_append_fragmentation(spark, tmp_wh):
     # a maintenance commit is rollback-able like any other
     t.rollback(v_before)
     assert t.read(spark).count() == 12
+
+
+def test_commit_after_rollback_never_reuses_versions(spark, tmp_wh):
+    """A commit after rollback(v) starts a new branch but must allocate
+    its version ABOVE every existing snapshot — head+1 would overwrite
+    the rolled-back branch's manifest and data directory, breaking time
+    travel to the abandoned versions."""
+    t = LakeTable.create(os.path.join(tmp_wh, "t"), SCHEMA, ["k"], 4)
+    snap = t.snapshot()
+    for i in range(3):  # v1..v3
+        t.commit(
+            _with_bucket(_df(spark, [(f"k{i}", i)]), snap),
+            overwrite_all=True,
+        )
+    v3_rows = {(r.k, r.v) for r in t.read(spark, version=3).collect()}
+    t.rollback(1)
+    new = t.commit(
+        _with_bucket(_df(spark, [("fix", 99)]), snap), overwrite_all=True
+    )
+    assert new.version == 4  # not 2
+    assert new.parent == 1  # branch point recorded
+    # the abandoned branch stays readable, byte for byte
+    assert {(r.k, r.v) for r in t.read(spark, version=3).collect()} == v3_rows
+    assert {(r.k, r.v) for r in t.read(spark, version=2).collect()} == {("k1", 1)}
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {("fix", 99)}
+    # append after rollback takes the same allocation rule
+    t.rollback(1)
+    assert t.append(_df(spark, [("app", 7)])).version == 5
+
+
+def test_expire_snapshots_keep_last_zero_keeps_only_head(spark, tmp_wh):
+    """keep_last=0 is the most aggressive setting — only what HEAD
+    needs survives (the -0 slice must not mean 'keep everything')."""
+    t = LakeTable.create(os.path.join(tmp_wh, "t"), SCHEMA, ["k"], 4)
+    for i in range(4):
+        t.append(_df(spark, [(f"k{i}", i)]))
+    removed = t.expire_snapshots(keep_last=0)
+    assert set(removed) == {0, 1, 2, 3}
+    assert t.versions() == [4]
+    assert t.read(spark).count() == 4

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from etl_spark.lake.table import BUCKET_COL, bucket_expr
 from etl_spark.operators.merge import merge_epoch
 from etl_spark.operators.merge_spj import merge_epoch_spj
-from etl_spark.operators.rollup import compute_partials, read_rollup
+from etl_spark.operators.rollup import (
+    compute_partials,
+    layout_stamp,
+    read_rollup,
+)
 from etl_spark.pipeline import Warehouse, ingest_epoch
 from etl_spark.sources.changelog import epoch_provider
 
@@ -109,7 +113,7 @@ def test_rollup_legacy_hash_layout_triggers_full_refresh(spark, tmp_path):
     ingest_epoch(spark, wh, prov, 1)  # must NOT partial-replace the forgery
     assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
     # and the table is now stamped + identity-layout for future epochs
-    assert wh.rollup.snapshot().summary.get("layout") == "identity:src_bucket"
+    assert wh.rollup.snapshot().summary.get("layout") == layout_stamp(8)
     ingest_epoch(spark, wh, prov, 2)
     assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
 
@@ -146,3 +150,72 @@ def test_rebucket_preserves_state_and_tombstones(spark, tmp_path):
     hidden_grown = grown.pages.read(spark, include_deleted=True).count()
     assert hidden_grown == hidden_ref
     assert _rollup_state(spark, grown) == _expected_rollup(spark, grown)
+
+
+def test_crash_before_rollup_is_repaired_on_replay(spark, tmp_path):
+    """Crash window between the pages merge commit and the rollup
+    commit: on replay the pages guard skips the merge, but the epoch's
+    rollup must still be finished — otherwise the partials stay stale
+    forever and 'replay converges' only holds for one of two tables."""
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=8)
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    ingest_epoch(spark, wh, prov, 0)
+    # simulate the crash: pages commit lands, rollup commit never runs
+    ingest_epoch(spark, wh, prov, 1, with_rollup=False)
+    assert 1 in wh.pages.applied_epochs()
+    assert 1 not in wh.rollup.applied_epochs()
+    # replaying the epoch repairs the rollup without re-merging pages
+    pages_v = wh.pages.snapshot().version
+    stats = ingest_epoch(spark, wh, prov, 1)
+    assert stats.skipped
+    assert wh.pages.snapshot().version == pages_v  # no pages re-commit
+    assert 1 in wh.rollup.applied_epochs()
+    assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
+    # and a second replay is a pure no-op on both tables
+    rollup_v = wh.rollup.snapshot().version
+    ingest_epoch(spark, wh, prov, 1)
+    assert wh.rollup.snapshot().version == rollup_v
+
+
+def test_rebucket_crash_window_full_refreshes_rollup(spark, tmp_path):
+    """Crash between the pages rebucket commit and the rollup rebuild:
+    the rollup head still carries the OLD bucket count's layout stamp,
+    which must no longer validate, so the next epoch full-refreshes
+    instead of double-counting old-layout partials."""
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=4)
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    ingest_epoch(spark, wh, prov, 0)
+    ingest_epoch(spark, wh, prov, 1)
+    # simulate rebucket_warehouse dying between its two commits
+    wh.pages.rebucket(spark, 16)
+    assert wh.rollup.snapshot().summary.get("layout") == layout_stamp(4)
+    ingest_epoch(spark, wh, prov, 2)
+    assert _rollup_state(spark, wh) == _expected_rollup(spark, wh)
+    assert wh.rollup.snapshot().summary.get("layout") == layout_stamp(16)
+
+
+def test_unknown_strategy_rejected(spark, tmp_path):
+    """A typo'd strategy must fail loudly, not silently run classic."""
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
+    delta = _df(spark, [(1, 0, "I", "https://s.example/x",
+                         "2024-01-01 00:00:00", b"<p>x</p>", None)])
+    with pytest.raises(ValueError, match="strategy"):
+        ingest_epoch(spark, wh, delta, 0, strategy="SPJ")
+
+
+@pytest.mark.parametrize("strategy", ["classic", "spj"])
+def test_empty_epoch_rollup_is_metadata_only(spark, tmp_path, strategy):
+    """An epoch whose delta cleans down to zero rows must not trigger a
+    full rollup rebuild: both commits are metadata-only (epoch recorded,
+    every data file carried forward by reference)."""
+    wh = Warehouse.init(str(tmp_path / f"wh_{strategy}"), n_buckets=8)
+    prov = epoch_provider(spark, SF_DIR, evolve_epoch=2)
+    ingest_epoch(spark, wh, prov, 0, strategy=strategy)
+    pages_files = wh.pages.snapshot().files
+    rollup_files = wh.rollup.snapshot().files
+    empty = _df(spark, [])
+    ingest_epoch(spark, wh, lambda e: empty, 1, strategy=strategy)
+    assert 1 in wh.pages.applied_epochs()
+    assert 1 in wh.rollup.applied_epochs()
+    assert wh.pages.snapshot().files == pages_files
+    assert wh.rollup.snapshot().files == rollup_files

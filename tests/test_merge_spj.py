@@ -69,7 +69,7 @@ def test_spj_delete_empties_bucket(spark, tmp_path):
     assert len(tombs) == 2 and all(t._deleted for t in tombs)
     assert all(t.html is None and t.text is None for t in tombs)
     # GC past the late-event horizon drops the markers AND the files
-    wh.pages.expire_tombstones(spark, "2030-01-01 00:00:00")
+    wh.pages.expire_tombstones(spark, "2030-01-01 00:00:00", "warc_ts")
     assert wh.pages.read(spark, include_deleted=True).count() == 0
     snap = wh.pages.snapshot()
     assert all(not paths for paths in snap.files.values())
