@@ -1,9 +1,15 @@
 """Per-epoch lineage + metrics — successor of the reference audit log
 (/root/reference/etl/audit/logger.py:81-103, DDL
 /root/reference/etl/init/sql/40_audit_log.sql:1-12): one row per
-(epoch, stage) with row counts and wall-clock, appended to a lineage
-LakeTable so every run is self-documenting (the bench harness reads
-throughput straight back out of it)."""
+(epoch, stage) with row counts, wall-clock, and status, appended to a
+lineage LakeTable so every run is self-documenting.
+
+Timing caveat: Spark stages are lazy — a stage whose body only builds
+a DataFrame plan (clean, dedup, extract) records near-zero ``seconds``;
+the compute lands in whichever stage triggers the action (stats, merge).
+``seconds`` is therefore "wall-clock attributable to actions started in
+this stage", not per-transformation cost; the per-epoch SUM across
+stages is the meaningful latency number."""
 
 from __future__ import annotations
 
@@ -30,19 +36,29 @@ class LineageLog:
     def stage(self, epoch: int, stage: str, partition_id: int = -1):
         rec = {"rows_in": None, "rows_out": None}
         start = time.time()
-        yield rec
-        self.rows.append(
-            (
-                epoch,
-                partition_id,
-                stage,
-                rec["rows_in"],
-                rec["rows_out"],
-                time.time() - start,
-                etl_spark.__version__,
-                None,
+        status = "ok"
+        try:
+            yield rec
+        except BaseException as ex:
+            # the row is still recorded (finally) so a crashed epoch
+            # leaves its audit trail; the caller's finally-flush writes
+            # it before the exception propagates out of ingest_epoch
+            status = f"{type(ex).__name__}: {ex}"[:500]
+            raise
+        finally:
+            self.rows.append(
+                (
+                    epoch,
+                    partition_id,
+                    stage,
+                    rec["rows_in"],
+                    rec["rows_out"],
+                    time.time() - start,
+                    etl_spark.__version__,
+                    status,
+                    None,
+                )
             )
-        )
 
     def flush(self, spark: SparkSession) -> None:
         if self.table is None or not self.rows:

@@ -124,72 +124,82 @@ def ingest_epoch(
             log.flush(spark)
         return MergeStats(epoch, True, 0, 0, head.version)
 
-    if callable(changes):
-        delta = changes(epoch)
-    else:
-        delta = changes.filter(F.col("epoch") == epoch)
+    try:
+        if callable(changes):
+            delta = changes(epoch)
+        else:
+            delta = changes.filter(F.col("epoch") == epoch)
 
-    with log.stage(epoch, "clean") as rec:
-        cleaned = clean_changes(delta)
+        with log.stage(epoch, "clean") as rec:
+            cleaned = clean_changes(delta)
 
-    # Light stats pre-pass (one aggregation, <= n_buckets rows to the
-    # driver): touched buckets + key count + hottest-key size. Replaces
-    # the per-stage histogram collect AND the cached-winners discovery —
-    # the epoch payload is streamed exactly once (the merge write).
-    snap = wh.pages.snapshot()
-    with log.stage(epoch, "stats") as rec:
-        touched, n_keys, max_key_n = delta_stats(
-            cleaned, snap.key_cols, snap.n_buckets
-        )
-        rec["rows_out"] = n_keys
-
-    hot = max_key_n >= hot_threshold
-    if strategy == "spj":
-        # single-shuffle grouped-map merge: dedup + extract + current-
-        # side read + arbitration all inside one bucket-partitioned pass
-        with log.stage(epoch, "merge") as rec:
-            stats = merge_epoch_spj(
-                spark,
-                wh.pages,
-                cleaned,
-                epoch,
-                touched_buckets=touched,
-                delta_rows=n_keys,
-                hot=hot,
+        # Light stats pre-pass (one aggregation, <= n_buckets rows to the
+        # driver): touched buckets + key count + hottest-key size. Replaces
+        # the per-stage histogram collect AND the cached-winners discovery —
+        # the epoch payload is streamed exactly once (the merge write).
+        snap = wh.pages.snapshot()
+        with log.stage(epoch, "stats") as rec:
+            touched, n_keys, max_key_n = delta_stats(
+                cleaned, snap.key_cols, snap.n_buckets
             )
-            rec["rows_out"] = stats.delta_rows
-    else:
-        with log.stage(epoch, "dedup") as rec:
-            if hot:
-                winners = salted_lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
-            else:
-                winners = lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
+            rec["rows_out"] = n_keys
 
-        with log.stage(epoch, "extract") as rec:
-            extracted = with_extracted_text(winners)
+        hot = max_key_n >= hot_threshold
+        if strategy == "spj":
+            # single-shuffle grouped-map merge: dedup + extract + current-
+            # side read + arbitration all inside one bucket-partitioned pass
+            with log.stage(epoch, "merge") as rec:
+                stats = merge_epoch_spj(
+                    spark,
+                    wh.pages,
+                    cleaned,
+                    epoch,
+                    touched_buckets=touched,
+                    delta_rows=n_keys,
+                    hot=hot,
+                )
+                rec["rows_out"] = stats.delta_rows
+        else:
+            with log.stage(epoch, "dedup") as rec:
+                if hot:
+                    winners = salted_lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
+                else:
+                    winners = lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
 
-        with log.stage(epoch, "merge") as rec:
-            stats = merge_epoch(
-                spark,
-                wh.pages,
-                extracted,
-                epoch,
-                pre_deduped=True,
-                touched_buckets=touched,
-                delta_rows=n_keys,
-            )
-            rec["rows_out"] = stats.delta_rows
+            with log.stage(epoch, "extract") as rec:
+                extracted = with_extracted_text(winners)
 
-    if with_rollup:
-        with log.stage(epoch, "rollup") as rec:
-            # `touched` is already in hand from delta_stats — passing it
-            # keeps an empty epoch a metadata-only rollup commit (the
-            # head-summary fallback would find no touched_list on a
-            # rows=0 merge and full-refresh for an epoch that changed
-            # nothing).
-            rollup_domain_stats(
-                spark, wh.pages, wh.rollup, epoch, touched_buckets=touched
-            )
+            with log.stage(epoch, "merge") as rec:
+                stats = merge_epoch(
+                    spark,
+                    wh.pages,
+                    extracted,
+                    epoch,
+                    pre_deduped=True,
+                    touched_buckets=touched,
+                    delta_rows=n_keys,
+                )
+                rec["rows_out"] = stats.delta_rows
+
+        if with_rollup:
+            with log.stage(epoch, "rollup") as rec:
+                # `touched` is already in hand from delta_stats — passing it
+                # keeps an empty epoch a metadata-only rollup commit (the
+                # head-summary fallback would find no touched_list on a
+                # rows=0 merge and full-refresh for an epoch that changed
+                # nothing).
+                rollup_domain_stats(
+                    spark, wh.pages, wh.rollup, epoch, touched_buckets=touched
+                )
+    except BaseException:
+        # persist the partial trail (including the failed stage's
+        # status row) so an aborted epoch is visible in the audit
+        # table; suppress flush errors so they can't mask the cause
+        try:
+            log.flush(spark)
+        except Exception:
+            pass
+        raise
 
     log.flush(spark)
     return stats

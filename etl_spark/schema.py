@@ -77,6 +77,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_out", T.LongType(), True),
         T.StructField("seconds", T.DoubleType(), True),
         T.StructField("engine_version", T.StringType(), True),
+        # "ok", or "ExceptionType: message" when the stage body raised —
+        # a failed epoch attempt leaves an audit trail instead of
+        # vanishing (the rows are flushed from ingest_epoch's finally)
+        T.StructField("status", T.StringType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
     ]
 )

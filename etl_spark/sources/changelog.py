@@ -145,8 +145,9 @@ def changes_at_scale(
     id_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Bench-scale change log from ``spark.range`` — no input data, no
-    Python, ~1 KB html per event; linear generate cost, embarrassingly
-    parallel. Zipf-like domain skew via inverse-CDF over a hash-uniform
+    Python, ``32 * payload_repeat`` bytes of html body per event (960 B
+    at the default; the surrounding markup adds ~60 B); linear generate
+    cost, embarrassingly parallel. Zipf-like domain skew via inverse-CDF over a hash-uniform
     u: ``domain = floor(D * u^4)`` concentrates mass near domain 0
     (hot-domain case the salting path must survive).
 
@@ -182,11 +183,17 @@ def changes_at_scale(
     # which (a) misrepresents web text (gzip on HTML is ~3-5x) and
     # (b) collapses AQE's compressed-size-based partition coalescing,
     # strangling post-shuffle parallelism. 8 distinct md5s (256 unique
-    # bytes) repeated to size gives a realistic ~4x ratio.
+    # bytes) repeated to size gives a realistic ~4x ratio. The trailing
+    # substring keeps the knob's contract exact — 32 bytes per unit of
+    # payload_repeat, not quantized to 256-byte blocks (a bare
+    # repeat(block, r//8) would both shrink the default ~20% and zero
+    # the knob's resolution below 8).
     unique_block = F.concat(
         *[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(8)]
     )
-    body = F.repeat(unique_block, max(1, payload_repeat // 8))
+    body = F.substring(
+        F.repeat(unique_block, (payload_repeat + 7) // 8), 1, 32 * payload_repeat
+    )
     title = F.concat(F.lit("Page "), key.cast("string"))
     html = (
         F.when(op == "D", F.lit(None).cast("binary"))

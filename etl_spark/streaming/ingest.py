@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark import schema as S
+from etl_spark.operators.clean import domain_of
 from etl_spark.pipeline import Warehouse, ingest_epoch
+
+# Streaming epochs live in their own id range so a warehouse that was
+# (or will be) loaded by the batch driver — whose epochs start at 0,
+# exactly where streaming batch_ids also start — can never collide with
+# a stream's ids in the shared applied-epoch bookkeeping. A collision is
+# silent data loss: the guard skips the "already applied" micro-batch
+# while the checkpoint still marks its files consumed.
+STREAM_EPOCH_BASE = 1_000_000_000
 
 
 def stream_changes(
@@ -60,16 +69,29 @@ def stream_ingest(
     with_lang: bool = True,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    epoch_base: int = STREAM_EPOCH_BASE,
     **epoch_kw,
 ):
     """Run the CDC pipeline as a stream; returns the StreamingQuery.
 
-    epoch id = the streaming ``batch_id`` (monotonic, stable across
-    recovery — exactly what the applied-epoch guard needs)."""
+    epoch id = ``epoch_base`` + the streaming ``batch_id`` (monotonic,
+    stable across recovery — exactly what the applied-epoch guard
+    needs). The base keeps stream epochs disjoint from batch-driver
+    epochs on the same warehouse; a SECOND concurrent stream on one
+    warehouse needs its own ``epoch_base`` for the same reason. The
+    idempotence contract is per-checkpoint: if the checkpoint dir is
+    LOST, a fresh run regroups the source files into new batch ids, and
+    any batch landing on an already-applied epoch id would be silently
+    skipped while its (possibly different) contents were never applied.
+    Recovery rule: restarting without the original checkpoint requires
+    a fresh ``epoch_base`` — every file is then re-applied, and LWW
+    arbitration makes the re-application convergent, not duplicated."""
     changes = stream_changes(spark, source_dir, with_lang, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_epoch(spark, wh, lambda _e: batch_df, int(batch_id), **epoch_kw)
+        ingest_epoch(
+            spark, wh, lambda _e: batch_df, epoch_base + int(batch_id), **epoch_kw
+        )
 
     writer = (
         changes.writeStream.foreachBatch(process_batch)
@@ -95,7 +117,9 @@ def windowed_domain_counts(
         changes.withWatermark("warc_ts", watermark)
         .groupBy(
             F.window("warc_ts", window).alias("w"),
-            F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+            # same domain definition as the batch rollup (clean.domain_of)
+            # so the two rollups can never diverge on the same data
+            domain_of(F.col("url")).alias("domain"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -249,3 +249,49 @@ def test_schema_removal_and_rename_are_additive_only(spark, tmp_wh):
     assert "lang" in cols and "language" in cols
     row = wh.pages.read(spark).collect()[0]
     assert row.language == "de" and row.lang is None and row.text == "v2"
+
+
+def test_failed_stage_leaves_audit_trail(spark, tmp_path):
+    """A stage that raises must still land its lineage row (status
+    records the exception) and the rows collected so far must be
+    flushed — an aborted epoch is visible in the audit table, not
+    erased by the crash."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark.pipeline import Warehouse, ingest_epoch
+
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
+    bad = spark.createDataFrame(
+        [(1, "I")], "seq long, op string"  # no url/warc_ts/html
+    )
+    with pytest.raises(Exception):
+        ingest_epoch(spark, wh, lambda e: bad, 0)
+    lin = wh.lineage.read(spark).collect()
+    assert lin, "aborted epoch left no audit trail"
+    failed = [r for r in lin if r.status != "ok"]
+    assert failed and failed[0].epoch == 0
+    # the epoch was NOT marked applied: replay will retry it
+    assert 0 not in wh.pages.applied_epochs()
+
+
+def test_changes_at_scale_payload_byte_contract(spark):
+    """The payload knob's contract: 32 bytes of body per unit of
+    payload_repeat, with full sub-8 resolution (md5 bodies never need
+    escaping, so html length differences are exactly the body delta)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.sources.changelog import changes_at_scale
+
+    def html_len(repeat):
+        df = changes_at_scale(spark, 64, payload_repeat=repeat)
+        r = (
+            df.filter("op != 'D' AND seq = 1")
+            .select(F.length("html").alias("n"))
+            .first()
+        )
+        return r.n
+
+    base = html_len(5)
+    assert html_len(10) - base == 32 * 5   # linear in the knob
+    assert html_len(6) - html_len(5) == 32  # resolution below 8 blocks

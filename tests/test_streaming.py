@@ -104,3 +104,33 @@ def test_windowed_domain_counts_batch_semantics(spark):
     total = sum(r.n_events for r in rows)
     assert total == changes.count()
     assert all(r.window_start < r.window_end for r in rows)
+
+
+def test_stream_epochs_disjoint_from_batch_epochs(spark, change_files, tmp_path):
+    """A warehouse loaded by the batch driver (epochs 0..2) and then
+    streamed into must not skip micro-batches: streaming epoch ids live
+    at STREAM_EPOCH_BASE + batch_id, so the applied-epoch guard can
+    never mistake batch ids for stream ids (batch_id also starts at 0 —
+    an unbased collision silently drops the stream's data while the
+    checkpoint marks it consumed)."""
+    from etl_spark.streaming.ingest import STREAM_EPOCH_BASE
+
+    wh = Warehouse.init(str(tmp_path / "wh"))
+    ingest_range(
+        spark, wh, epoch_provider(spark, SF_DIR, evolve_epoch=2), range(3)
+    )
+    state_batch = _final_state(spark, wh)
+    assert wh.pages.applied_epochs() == {0, 1, 2}
+
+    # stream the same changelog into the SAME warehouse, fresh checkpoint
+    q = stream_ingest(
+        spark, wh, change_files, str(tmp_path / "ckpt"), with_rollup=False
+    )
+    q.awaitTermination(300)
+    applied = wh.pages.applied_epochs()
+    # every micro-batch was APPLIED (not skipped as "epoch 0/1/2 done")
+    stream_epochs = {e for e in applied if e >= STREAM_EPOCH_BASE}
+    assert len(stream_epochs) == 3
+    assert applied == {0, 1, 2} | stream_epochs
+    # and re-applying identical events is convergent (LWW ties keep state)
+    assert _final_state(spark, wh) == state_batch
