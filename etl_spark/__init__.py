@@ -21,4 +21,4 @@ Everything here derives from public knowledge only: the Apache Spark /
 PySpark API and the reference repo's observable behavior.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

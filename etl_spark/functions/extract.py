@@ -24,18 +24,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Frozen kernel constants — changing any of these breaks the
-# byte-identity invariant; bump engine major version if ever touched.
-# The three structural patterns run as ONE fused alternation: a single
-# left-to-right scan, trying script/style subtree, then comment, then
-# bare tag AT EACH POSITION. NOTE this is deliberately NOT equivalent
-# to three sequential global passes: whichever construct opens first
-# wins, so a comment hides a <script> that opens inside it
+# byte-identity invariant; bump the engine version if ever touched
+# (last change: 0.2.0, unclosed-construct EOF rules added).
+# The structural patterns run as ONE fused alternation: a single
+# left-to-right scan, trying closed script/style subtree, then closed
+# comment, then their UNCLOSED-to-end-of-input forms, then bare tag AT
+# EACH POSITION. NOTE this is deliberately NOT equivalent to sequential
+# global passes: whichever construct opens first wins, so a comment
+# hides a <script> that opens inside it
 # ("a<!--<script>x--></script>b" -> "a b" — the stray </script> is then
 # a bare tag). That left-to-right rule is the frozen definition (it
 # also matches how an HTML tokenizer treats comment content); golden
-# tests pin the overlap case explicitly.
+# tests pin the overlap case explicitly. The unclosed forms mirror the
+# tokenizer's EOF handling for TRUNCATED documents (the norm in real
+# crawls): a <script>/<style>/<!-- that never closes swallows to end of
+# input — without that rule the bare-tag branch stripped only the open
+# tag and leaked raw JavaScript/CSS/comment bytes into "clean" text.
 _RE_MARKUP = re.compile(
-    r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]+>"
+    r"(?is)"
+    r"<(script|style)\b[^>]*>.*?</\1\s*>"  # closed subtree
+    r"|<!--.*?-->"                         # closed comment
+    r"|<(?:script|style)\b[^>]*>.*"        # unclosed subtree -> EOF
+    r"|<!--.*"                             # unclosed comment -> EOF
+    r"|<[^>]+>"                            # bare tag
 )
 _RE_WS = re.compile(r"\s+")
 # Order matters: &amp; last, so "&amp;lt;" -> "&lt;" (literal), not "<".

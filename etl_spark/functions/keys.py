@@ -30,13 +30,21 @@ def smart_time_id(ts: Column) -> Column:
 
 def timestamp_from_ids(date_id: Column, time_id: Column) -> Column:
     """Inverse of the smart keys (/root/reference/etl/init/
-    single_statement_sql/01_smart_date_time_id.sql:1-11)."""
-    return F.to_timestamp(
-        F.concat(
-            F.lpad(date_id.cast("string"), 8, "0"),
-            F.lpad(time_id.cast("string"), 6, "0"),
-        ),
-        "yyyyMMddHHmmss",
+    single_statement_sql/01_smart_date_time_id.sql:1-11). The smart
+    keys map null -> -1, so the inverse must map -1 back to null — and
+    under ANSI mode (Spark 4 default) an unguarded to_timestamp on the
+    '-1'-bearing string would abort the job, not return null."""
+    return F.when(
+        (date_id == F.lit(-1)) | (time_id == F.lit(-1)),
+        F.lit(None).cast("timestamp"),
+    ).otherwise(
+        F.to_timestamp(
+            F.concat(
+                F.lpad(date_id.cast("string"), 8, "0"),
+                F.lpad(time_id.cast("string"), 6, "0"),
+            ),
+            "yyyyMMddHHmmss",
+        )
     )
 
 
@@ -88,7 +96,10 @@ def argmin_key(m: Column) -> Column:
     entries = F.transform(
         F.map_entries(m), lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k"))
     )
-    return F.array_sort(entries)[0]["k"]
+    # F.get, not [0]: an empty map must yield null — under ANSI mode
+    # (Spark 4 default) [0] on an empty array raises INVALID_ARRAY_INDEX
+    # and kills the whole job on the first empty-map row.
+    return F.get(F.array_sort(entries), 0)["k"]
 
 
 def euclidean(dx: Column, dy: Column) -> Column:

@@ -60,10 +60,15 @@ def stopword_hits(text: Column, stopwords: tuple[str, ...]) -> Column:
 
 
 def quality_score(text: Column) -> Column:
-    """Heuristic quality in [0,1]: length band + punctuation sanity +
-    English-stopword presence + mean-word-length band. Deterministic
-    arithmetic only (the web-text analog of the reference's
-    plausibility-rule filter, clean_data.py:140-148)."""
+    """Heuristic quality in [0,1], null text -> null: length band +
+    punctuation sanity + English-stopword presence + mean-word-length
+    band. Deterministic arithmetic only (the web-text analog of the
+    reference's plausibility-rule filter, clean_data.py:140-148).
+
+    The null guard is load-bearing: without it, a null text's null
+    stop_ratio is SKIPPED by least(null, 1.0) — null-skipping least is
+    both Spark's and DuckDB's semantics — handing the one component a
+    missing document cannot have its full 0.25 credit."""
     n_chars = F.length(text)
     n_words = ws_token_count(text)
     punct_ratio = punct_count(text) / F.greatest(n_chars, F.lit(1))
@@ -77,7 +82,9 @@ def quality_score(text: Column) -> Column:
         0.0
     )
     stop_part = F.least(stop_ratio * 5, F.lit(1.0))
-    return F.round((len_ok + punct_ok + word_ok + stop_part) / 4.0, 4)
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round((len_ok + punct_ok + word_ok + stop_part) / 4.0, 4)
+    )
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:

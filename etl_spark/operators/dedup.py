@@ -25,7 +25,18 @@ from pyspark.sql import functions as F
 
 
 def _order_struct(df: DataFrame, order_cols: list[str]) -> F.Column:
-    """max() over this struct == the last writer; payload rides along."""
+    """max() over this struct == the last writer; payload rides along.
+
+    The payload struct participates in the comparison ON PURPOSE: when
+    two events tie on every order col (same url, warc_ts, seq but
+    different bytes — possible only for callers that bypass clean()'s
+    dedup), the byte-wise larger payload wins, making the outcome a
+    pure function of the event SET. That content-determinism is what
+    the replay-convergence property (random epoch splits == global
+    fold) rests on; max_by or row_number would break ties by partition
+    order instead. Corollary: every payload column must be an orderable
+    type (true for the pages schema; adding e.g. a MapType column would
+    need an explicit exclusion here)."""
     return F.struct(*[F.col(c) for c in order_cols], F.struct(*df.columns).alias("_row"))
 
 
@@ -54,12 +65,27 @@ def lww_dedup_window(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     )
 
 
+def _hot_key_predicate(key_cols: list[str], hot_keys: list[tuple]) -> F.Column:
+    """Map-side membership test for a small driver-known hot-key list
+    (<= top_n from the histogram) — an In/isin predicate, no join."""
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).isin([k[0] for k in hot_keys])
+    pred = F.lit(False)
+    for kt in hot_keys:
+        conj = F.lit(True)
+        for c, v in zip(key_cols, kt):
+            conj = conj & (F.col(c) == F.lit(v))
+        pred = pred | conj
+    return pred
+
+
 def salted_lww_dedup(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
     n_salts: int = 16,
     salt_source: str | None = None,
+    hot_keys: list[tuple] | None = None,
 ) -> DataFrame:
     """Two-phase LWW for hot keys.
 
@@ -68,7 +94,23 @@ def salted_lww_dedup(
     key, trivial). ``salt_source``: a column making the salt
     deterministic (default: first order col), so replays produce
     identical partitioning.
+
+    ``hot_keys`` (the histogram's identities): when given, ONLY those
+    keys take the two-phase path; everything else keeps the
+    single-shuffle :func:`lww_dedup`. Without the split, phase 2
+    re-shuffles every cold key's per-salt winner structs — payload
+    included — roughly doubling dedup shuffle volume at 10^10 events
+    for the sake of one hot URL. The split reads the delta twice
+    (one scan per branch), which is the right trade: a columnar
+    re-scan is cheap next to a second full-payload shuffle.
     """
+    if hot_keys:
+        pred = _hot_key_predicate(key_cols, hot_keys)
+        hot_side = salted_lww_dedup(
+            df.filter(pred), key_cols, order_cols, n_salts, salt_source
+        )
+        cold_side = lww_dedup(df.filter(~pred), key_cols, order_cols)
+        return hot_side.unionByName(cold_side)
     src = salt_source or order_cols[-1]
     cols = df.columns
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
@@ -115,9 +157,16 @@ def adaptive_lww_dedup(
     seconds. (The per-epoch decision mirrors the reference rebuilding
     its kd-tree from observed density rather than assuming uniformity.)
     """
-    hot = hot_key_histogram(df, key_cols, hot_threshold, top_n=1)
+    hot = hot_key_histogram(df, key_cols, hot_threshold)
     if hot:
-        return salted_lww_dedup(df, key_cols, order_cols, n_salts=n_salts)
+        # salt ONLY the identified hot keys (the histogram already paid
+        # for their identities); cold keys keep the single-shuffle path.
+        # Keys hotter than the threshold but beyond the histogram's
+        # top_n fall back to the cold path — top_n is the straggler
+        # budget knob, not a correctness boundary.
+        return salted_lww_dedup(
+            df, key_cols, order_cols, n_salts=n_salts, hot_keys=hot
+        )
     return lww_dedup(df, key_cols, order_cols)
 
 
@@ -135,8 +184,6 @@ def delta_stats(
     (columnar-cache build + eviction dwarf a recompute); bounded stats
     + a single streamed full pass is the shape that scales.
     """
-    from pyspark.sql import functions as F
-
     from etl_spark.lake.table import BUCKET_COL, bucket_expr
 
     per_key = (

@@ -26,7 +26,12 @@ from etl_spark.functions.extract import with_extracted_text
 from etl_spark.lake.table import BUCKET_COL, LakeTable
 from etl_spark.lineage import LineageLog
 from etl_spark.operators.clean import clean_changes
-from etl_spark.operators.dedup import delta_stats, lww_dedup, salted_lww_dedup
+from etl_spark.operators.dedup import (
+    delta_stats,
+    hot_key_histogram,
+    lww_dedup,
+    salted_lww_dedup,
+)
 from etl_spark.operators.merge import merge_epoch, MergeStats
 from etl_spark.operators.merge_spj import merge_epoch_spj
 from etl_spark.operators.rollup import rollup_domain_stats
@@ -162,7 +167,15 @@ def ingest_epoch(
         else:
             with log.stage(epoch, "dedup") as rec:
                 if hot:
-                    winners = salted_lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
+                    # one extra (key, count) shuffle for the hot-key
+                    # identities so ONLY those keys pay the two-phase
+                    # salt; cold keys keep the single-shuffle path
+                    hot_keys = hot_key_histogram(
+                        cleaned, ["url"], hot_threshold
+                    )
+                    winners = salted_lww_dedup(
+                        cleaned, ["url"], ["warc_ts", "seq"], hot_keys=hot_keys
+                    )
                 else:
                     winners = lww_dedup(cleaned, ["url"], ["warc_ts", "seq"])
 

@@ -72,14 +72,14 @@ _CASE = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
     )
     SELECT doc_id, labeled_lang,
            n_ws_tokens, n_bpe_tokens, n_punct, n_chars,
-           ROUND((
+           CASE WHEN text IS NULL THEN NULL ELSE ROUND((
              (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
            + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
            + (CASE WHEN (n_chars - (n_ws_tokens - 1)) / greatest(n_ws_tokens, 1) >= 2.0
                     AND (n_chars - (n_ws_tokens - 1)) / greatest(n_ws_tokens, 1) <= 12.0
                THEN 1.0 ELSE 0.0 END)
            + least(s_en / greatest(n_ws_tokens, 1) * 5, 1.0)
-           ) / 4.0, 4) AS quality,
+           ) / 4.0, 4) END AS quality,
            {_CASE} AS guessed_lang,
            {_BEST} AS best_score,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,

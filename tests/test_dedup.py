@@ -323,3 +323,29 @@ def test_ivf_dedup_pairs_forwards_dim(spark):
     for r in pairs:
         assert r.a_id % 2 == r.b_id % 2  # never across blobs
         assert r.cosine >= 0.99
+
+
+def test_salted_hot_key_split_equals_unsplit(spark):
+    """hot_keys routing is a pure execution-plan choice: winners must be
+    identical whether every key is salted, only the hot key is salted
+    (cold keys on the single-shuffle path), or nothing is salted."""
+    df = _changes(spark)
+    want = {
+        (r.url, r.payload)
+        for r in lww_dedup(df, ["url"], ["warc_ts", "seq"]).collect()
+    }
+    split = {
+        (r.url, r.payload)
+        for r in salted_lww_dedup(
+            df, ["url"], ["warc_ts", "seq"], n_salts=4, hot_keys=[("u1",)]
+        ).collect()
+    }
+    assert split == want
+    # a hot_keys list naming NO present key degenerates to plain lww
+    none_hot = {
+        (r.url, r.payload)
+        for r in salted_lww_dedup(
+            df, ["url"], ["warc_ts", "seq"], n_salts=4, hot_keys=[("absent",)]
+        ).collect()
+    }
+    assert none_hot == want

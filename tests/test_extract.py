@@ -33,6 +33,14 @@ GOLDENS = [
     # and the converse: script opens first, its subtree swallows the
     # comment opener up to the real close tag.
     (b"a<script><!--</script>b-->c", "a b-->c"),
+    # TRUNCATED documents (the norm in real crawls): an unclosed
+    # <script>/<style>/<!-- swallows to end of input — tokenizer EOF
+    # semantics — instead of leaking raw code into "clean" text.
+    (b"<p>hello</p><script>var x=1; // no close", "hello"),
+    (b"<p>hi</p><style>p{color:red", "hi"),
+    (b"<p>hi</p><!-- truncated comment", "hi"),
+    # a CLOSED subtree followed by an unclosed one: only the tail is eaten
+    (b"a<script>x</script>b<script>y", "a b"),
 ]
 
 
