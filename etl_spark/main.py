@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"buckets with data: {sum(1 for v in snap.files.values() if v)}/{snap.n_buckets}")
         print(f"rows: {wh.pages.row_count(spark)}")
         lin = wh.lineage.read(spark)
-        if lin.count():
+        if not lin.isEmpty():  # head-probe, not a full count scan
             lin.orderBy("epoch", "stage").show(50, truncate=False)
         return 0
 

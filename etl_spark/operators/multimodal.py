@@ -57,13 +57,17 @@ def decode_image(payload: bytes):
     )
 
 
+def dims_from_digest(h: str) -> tuple[int, int]:
+    """Fake dimensions from an already-computed payload md5 — split out
+    so callers that hash the payload anyway never hash it twice (md5
+    over the full payload is the kernel's dominant per-row cost)."""
+    return 1 + int(h[:3], 16) % 1024, 1 + int(h[3:6], 16) % 1024
+
+
 def parse_fake_header(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a header parse: dimensions derived
     from the payload's md5 (portable to the SQL oracle)."""
-    h = hashlib.md5(payload).hexdigest()
-    width = 1 + int(h[:3], 16) % 1024
-    height = 1 + int(h[3:6], 16) % 1024
-    return width, height
+    return dims_from_digest(hashlib.md5(payload).hexdigest())
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,15 +89,30 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            md5s = payloads.map(lambda b: hashlib.md5(b).hexdigest())
-            dims = payloads.map(parse_fake_header)
+            # na_action='ignore' everywhere: a null payload (null source
+            # text — a real corpus case) yields a row with null meta,
+            # matching the oracle's SQL-null propagation, instead of a
+            # TypeError killing the task. One md5 per payload; dims are
+            # derived from the same digest.
+            md5s = payloads.map(
+                lambda b: hashlib.md5(b).hexdigest(), na_action="ignore"
+            )
+            dims = md5s.map(dims_from_digest, na_action="ignore")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "doc_id": pd.array(pdf[id_col], dtype="Int64"),
+                    "n_bytes": pd.array(
+                        payloads.map(len, na_action="ignore"), dtype="Int32"
+                    ),
                     "payload_md5": md5s,
-                    "width": dims.map(lambda t: t[0]).astype("int32"),
-                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "width": pd.array(
+                        dims.map(lambda t: t[0], na_action="ignore"),
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        dims.map(lambda t: t[1], na_action="ignore"),
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -110,16 +129,25 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, frame_nos, lens, md5s = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue  # null payload contributes no frames
                 n_frames = max(1, math.ceil(len(payload) / FRAME_BYTES))
                 for i in range(n_frames):
                     chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
                     ids.append(doc_id)
                     frame_nos.append(i)
                     lens.append(len(chunk))
-                    md5s.append(hashlib.md5(chunk).hexdigest())
+                    # Fingerprint = md5 of the chunk's LOWERCASE HEX, not
+                    # of the raw bytes: the SQL oracle twin has no BLOB
+                    # md5/slicing, but hex(encode(text)) is an ASCII
+                    # string where 2 chars == 1 byte, so char-based
+                    # substr reproduces byte slicing exactly for ANY
+                    # UTF-8 content (raw-bytes hashing was only
+                    # oracle-reproducible for pure-ASCII corpora).
+                    md5s.append(hashlib.md5(chunk.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.array(ids, dtype="Int64"),
                     "frame_no": pd.Series(frame_nos, dtype="int32"),
                     "frame_len": pd.Series(lens, dtype="int32"),
                     "frame_md5": pd.Series(md5s, dtype="object"),

@@ -67,7 +67,10 @@ def segment_documents(
                     counts.append(n)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    # nullable Int64: a null doc_id (the schema allows it)
+                    # must pass through as SQL null like the oracle does,
+                    # not raise from a non-nullable int64 cast
+                    "doc_id": pd.array(ids, dtype="Int64"),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
                     "chunk_text": pd.Series(chunks, dtype="object"),
                     "n_words": pd.Series(counts, dtype="int32"),
