@@ -26,9 +26,15 @@ from etl_spark.functions.text import content_fingerprint, word_shingles
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct content hash: canonical id (min), copy count.
     At 100 TB this is one partial-aggregated shuffle of (hash, id) —
-    the text never moves."""
+    the text never moves.
+
+    Null text is excluded: content_fingerprint(null) is null, and a
+    null-hash group would declare every failed-extraction document a
+    "duplicate" of one canonical id — a consumer keeping one doc per
+    group would then delete unrelated documents."""
     return (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             content_fingerprint(F.col(text_col)).alias("content_md5"),
             F.col(id_col),
         )
@@ -104,29 +110,48 @@ def ngram_jaccard_pairs(
 
     Scale levers: ``max_doc_freq`` drops shingles shared by more than N
     docs (stopword shingles explode the join quadratically at corpus
-    scale; dropping them only loses pairs whose *every* shingle is that
-    common). DEFAULT ON — pass None explicitly for the exact unguarded
+    scale). DEFAULT ON — pass None explicitly for the exact unguarded
     form, and use ``dropped_shingle_stats`` to report what the cap
-    removed. The join itself is equi on the shingle — residual skew from
-    sub-cap popular shingles is the hot-key case AQE skew-join handles.
+    removed. When the cap is on, the Jaccard is computed over the
+    CAPPED shingle universe on BOTH sides of the fraction: per-doc
+    counts are recounted from the surviving shingles, so two identical
+    docs still score 1.0 even when some of their shingles are over-cap
+    boilerplate. (Using the pre-cap counts in the denominator while the
+    intersection can only see survivors systematically underestimates
+    similarity — same-site header/footer boilerplate would silently
+    push true near-dups below threshold.) The join itself is equi on
+    the shingle — residual skew from sub-cap popular shingles is the
+    hot-key case AQE skew-join handles.
     """
-    grams = shingle_table(df, id_col, text_col, k)
+    grams = shingle_table(df, id_col, text_col, k).select("doc", "gram")
     if max_doc_freq is not None:
         freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         grams = grams.join(
             freq.filter(F.col("df") <= max_doc_freq).select("gram"), "gram"
         )
-    a = grams.select(
-        F.col("doc").alias("a_id"), F.col("n_grams").alias("a_n"), "gram"
-    )
-    b = grams.select(
-        F.col("doc").alias("b_id"), F.col("n_grams").alias("b_n"), "gram"
-    )
+        # Materialize the survivors once: three consumers below (counts
+        # + both self-join sides) would otherwise each re-explode the
+        # corpus and re-run the frequency join. Eager localCheckpoint
+        # blocks are GC-reclaimed (see minhash_lsh_pairs' note); at full
+        # corpus scale this intermediate belongs in a staging table —
+        # this operator is the exact yardstick, minhash is the scale
+        # path.
+        grams = grams.localCheckpoint(eager=True)
+    # per-doc counts over the (possibly capped) universe — pair-level
+    # join below touches only pair rows, never the gram table again
+    counts = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc").alias("a_id"), "gram")
+    b = grams.select(F.col("doc").alias("b_id"), "gram")
     common = (
         a.join(b, "gram")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    common = common.join(
+        counts.select(F.col("doc").alias("a_id"), F.col("n").alias("a_n")), "a_id"
+    ).join(
+        counts.select(F.col("doc").alias("b_id"), F.col("n").alias("b_n")), "b_id"
     )
     jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
     return (
@@ -334,6 +359,13 @@ def simhash_pairs(
     banded = fps.select("doc", "bits", F.explode(F.array(*chunk_cols)).alias("cs")).select(
         "doc", "bits", F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig")
     )
+    # Materialize once before the self-join: the fingerprint subtree
+    # (token explode + 64 sum aggregates over every token — the
+    # dominant cost) would otherwise execute once per aliased join side
+    # (aliased projections defeat exchange reuse). banded is 4 rows/doc,
+    # small at any scale; eager localCheckpoint blocks are GC-reclaimed
+    # (same pattern + rationale as minhash_lsh_pairs above).
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("doc").alias("a_id"), F.col("bits").alias("a_bits"), "chunk", "sig")
     b = banded.select(F.col("doc").alias("b_id"), F.col("bits").alias("b_bits"), "chunk", "sig")
     cands = (

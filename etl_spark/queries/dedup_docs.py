@@ -45,12 +45,15 @@ _GRAMS_CTE = """
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS n_copies
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY content_md5
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized-content md5 — one
-    partial-aggregated shuffle of (hash, id); payloads never move."""
+    partial-aggregated shuffle of (hash, id); payloads never move.
+    Null text is excluded on both twins (a null-hash group would lump
+    every failed extraction into one 'duplicate' set)."""
     d = load_table(spark, sf_dir, "documents")
     return D.exact_dup_groups(d, "doc_id", "text")
 
@@ -65,27 +68,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) <= {D.DEFAULT_MAX_DOC_FREQ}
     ),
     capped AS (
-      SELECT g.doc_id, g.n_grams, g.gram FROM grams g JOIN kept USING (gram)
+      SELECT g.doc_id, g.gram FROM grams g JOIN kept USING (gram)
+    ),
+    counts AS (
+      -- per-doc counts over the CAPPED universe: the denominator must
+      -- see the same shingle set the intersection can see
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
     ),
     pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             a.n_grams AS a_n, b.n_grams AS b_n,
-             COUNT(*) AS n_common
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a_id, b_id, a_n, b_n
+      GROUP BY a_id, b_id
     )
     SELECT a_id, b_id, n_common,
-           ROUND(n_common / (a_n + b_n - n_common), 4) AS jaccard
+           ROUND(n_common / (ca.n + cb.n - n_common), 4) AS jaccard
     FROM pairs
-    WHERE n_common / (a_n + b_n - n_common) >= {JACCARD_THRESHOLD}
+    JOIN counts ca ON ca.doc_id = a_id
+    JOIN counts cb ON cb.doc_id = b_id
+    WHERE n_common / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-word-shingle Jaccard >= 0.8 pairs via shingle equi-join (the
     theta-join-to-equi-join rewrite, SURVEY.md J6) with the default
-    doc-frequency cap on stopword shingles (the oracle replicates the
-    cap, so the guarded plan is what is verified). Exact above the cap —
-    the baseline the MinHash variant approximates."""
+    doc-frequency cap on stopword shingles — Jaccard computed over the
+    capped shingle universe on both sides of the fraction (the oracle
+    replicates cap AND recount, so the guarded plan is what is
+    verified). The exact baseline the MinHash variant approximates."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=JACCARD_THRESHOLD)
 

@@ -349,3 +349,37 @@ def test_salted_hot_key_split_equals_unsplit(spark):
         ).collect()
     }
     assert none_hot == want
+
+
+def test_jaccard_cap_recounts_denominator(spark):
+    """Two identical docs sharing an over-cap boilerplate shingle must
+    still score 1.0: the denominator is recounted over the capped
+    shingle universe (pre-cap counts would give 5/(12-5) = 0.71 and
+    silently drop the pair)."""
+    from etl_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    dup = "common one two three four u1 u2 u3 u4 u5"  # 10 words, 6 shingles
+    rows = [(1, dup), (2, dup)]
+    # 3 more docs opening with the same 5 words -> that shingle's df=5
+    rows += [(10 + i, f"common one two three four tail{i} a b c d")
+             for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.a_id, r.b_id): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=5, threshold=0.8, max_doc_freq=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == (5, 1.0)  # boilerplate dropped, still exact
+
+
+def test_exact_dedup_excludes_null_text(spark):
+    """Null-text docs must not collapse into one 'duplicate' group."""
+    from etl_spark.operators.dedup_text import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id bigint, text string",
+    )
+    groups = exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].n_copies == 2
