@@ -43,7 +43,10 @@ def composite_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         (li.l_orderkey == o.o_orderkey)
         & (li.l_shipdate >= o.o_orderdate)
-        & (li.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 90).cast("timestamp")),
+        # full-timestamp interval arithmetic, like the oracle: a
+        # date_add on the DATE cast would silently truncate any
+        # time-of-day component off the upper bound
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
     )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lineitems"),

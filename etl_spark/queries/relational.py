@@ -228,8 +228,9 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def unpivot_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode(array(cols)) + distinct — feeds a generated date
-    dimension exactly like the reference's ensure-dates path."""
+    """Unpivot via two-source unionByName + distinct — feeds a
+    generated date dimension exactly like the reference's ensure-dates
+    path (union, not explode: each source keeps its own pruned scan)."""
     o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
     return o.unionByName(li).select(F.col("d").cast("date").alias("day")).distinct()
@@ -343,8 +344,9 @@ def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "smart_date_keys",
     oracle="""
     SELECT DISTINCT
-      (EXTRACT(year FROM o_orderdate)*10000 + EXTRACT(month FROM o_orderdate)*100
-         + EXTRACT(day FROM o_orderdate))::INT AS date_id,
+      COALESCE((EXTRACT(year FROM o_orderdate)*10000
+         + EXTRACT(month FROM o_orderdate)*100
+         + EXTRACT(day FROM o_orderdate))::INT, -1) AS date_id,
       EXTRACT(year FROM o_orderdate)::INT AS year,
       EXTRACT(month FROM o_orderdate)::INT AS month,
       EXTRACT(day FROM o_orderdate)::INT AS day_of_month,
@@ -361,8 +363,13 @@ def smart_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.functions.keys import smart_date_id
 
     o = load_table(spark, sf_dir, "orders")
+    # distinct FIRST: the 7 attribute expressions then run once per
+    # distinct date and the shuffle carries one date column, not a
+    # 7-column-wide hash-distinct over every orders row. (smart_date_id
+    # maps a null date to -1; the oracle COALESCEs identically.)
+    dates = o.select("o_orderdate").distinct()
     d = F.col("o_orderdate")
-    return o.select(
+    return dates.select(
         smart_date_id(d).alias("date_id"),
         F.year(d).alias("year"),
         F.month(d).alias("month"),
@@ -371,7 +378,7 @@ def smart_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ISO dow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
         (F.pmod(F.dayofweek(d) + 5, F.lit(7)) + 1).cast("int").alias("iso_dow"),
         F.dayofyear(d).alias("day_of_year"),
-    ).distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +422,7 @@ def case_when_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_cast",
     oracle="""
-    SELECT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) % 10 AS k_bucket,
+    SELECT TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) % 10 AS k_bucket,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
@@ -423,10 +430,13 @@ def case_when_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """regexp_extract + cast (null on failure) + agg — the lossy-cast
-    clean step as pure Catalyst expressions."""
+    """regexp_extract + try_cast (null on failure) + agg — the
+    lossy-cast clean step as pure Catalyst expressions. try_cast, not
+    cast: under ANSI mode (Spark 4 default) a plain cast of the ''
+    that regexp_extract returns on no-match ABORTS the job instead of
+    bucketing to null — DuckDB's TRY_CAST is the exact twin."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), '"k": (-?[0-9]+)', 1).cast("int")
+    k = F.regexp_extract(F.col("props"), '"k": (-?[0-9]+)', 1).try_cast("int")
     return (
         ev.groupBy((k % 10).alias("k_bucket"))
         .agg(
@@ -453,15 +463,22 @@ def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(vals) AS n_points,
            ROUND(CASE WHEN len(vals) < 2 THEN 0.0 ELSE
              list_sum(list_transform(range(1, len(vals)),
-               i -> LEAST(ABS(vals[i+1] - vals[i]), 360.0 - ABS(vals[i+1] - vals[i]))))
+               i -> LEAST(((vals[i+1] - vals[i]) % 360.0 + 360.0) % 360.0,
+                          360.0 - ((vals[i+1] - vals[i]) % 360.0 + 360.0) % 360.0)))
            END, 4) AS total_delta
     FROM seqs
     """,
 )
 def delta_upperbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect ordered array per key, then higher-order functions:
-    zip_with(slice,slice) consecutive pairs -> aggregate sum. All
-    JVM-side; the plpgsql loop becomes two array expressions."""
+    """collect ordered array per key, then the shared circular-delta
+    kernel (functions/keys.py delta_upperbounded — pmod form, the
+    reference's exact semantics). A bare least(|d|, ub-|d|) is NOT that
+    kernel: for |d| > ub it turns NEGATIVE and subtracts from the sum
+    (real pairs in the bench data hit |d| up to 464); pmod folds the
+    difference into [0, ub) first, so every contribution is the true
+    circular distance."""
+    from etl_spark.functions.keys import delta_upperbounded as circ_delta
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     seqs = ev.groupBy("user_id").agg(
         F.sort_array(
@@ -469,15 +486,8 @@ def delta_upperbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rows")
     )
     vals = F.col("rows.value")
-    n = F.size(vals)
-    pairs = F.zip_with(
-        F.slice(vals, 1, n - 1),
-        F.slice(vals, 2, n - 1),
-        lambda a, b: F.least(F.abs(b - a), F.lit(360.0) - F.abs(b - a)),
-    )
-    total = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
     return seqs.select(
         "user_id",
-        n.alias("n_points"),
-        F.round(F.when(n < 2, F.lit(0.0)).otherwise(total), 4).alias("total_delta"),
+        F.size(vals).alias("n_points"),
+        F.round(circ_delta(vals, 360.0), 4).alias("total_delta"),
     )

@@ -29,35 +29,47 @@ SESSION_GAP_S = 900
     WITH lagged AS (
       SELECT user_id, value,
              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-             (epoch_us(ts) // 1000000) - (epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) AS dt_s
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
       FROM events
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           COUNT(CASE WHEN dt_s = 0 THEN 1 END) AS n_same_ts,
-           COUNT(CASE WHEN dt_s > 0 AND ABS(value - prev_value) / dt_s > 1.0 THEN 1 END) AS n_outliers
+           COUNT(CASE WHEN dt_us = 0 THEN 1 END) AS n_same_ts,
+           COUNT(CASE WHEN dt_us > 0
+                       AND ABS(value - prev_value) / (dt_us / 1000000.0) > 1.0
+                  THEN 1 END) AS n_outliers
     FROM lagged GROUP BY user_id
     """,
 )
 def lag_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() over (partition by key order by ts): rate = |Δvalue|/Δt;
-    Δt = 0 flags a same-timestamp row exactly like the reference."""
+    Δt = 0 flags a same-timestamp row exactly like the reference.
+
+    Δt in MICROseconds, not unix_timestamp's floored seconds: the event
+    timestamps carry sub-second parts, so second truncation would call
+    0.8s-apart events "same timestamp" and divide rates by a floored
+    Δt (0.2s across a second boundary reads as a full second, shrinking
+    the rate 5x). Exact-integer µs keeps the twins bit-identical."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    dt = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     lagged = ev.select(
         "user_id",
         "value",
         F.lag("value").over(w).alias("prev_value"),
-        dt.alias("dt_s"),
+        dt.alias("dt_us"),
     )
     return lagged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count(F.when(F.col("dt_s") == 0, 1)).alias("n_same_ts"),
+        F.count(F.when(F.col("dt_us") == 0, 1)).alias("n_same_ts"),
         F.count(
             F.when(
-                (F.col("dt_s") > 0)
-                & (F.abs(F.col("value") - F.col("prev_value")) / F.col("dt_s") > 1.0),
+                (F.col("dt_us") > 0)
+                & (
+                    F.abs(F.col("value") - F.col("prev_value"))
+                    / (F.col("dt_us") / F.lit(1000000.0))
+                    > 1.0
+                ),
                 1,
             )
         ).alias("n_outliers"),
