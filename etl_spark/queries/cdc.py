@@ -96,11 +96,27 @@ _EXTRACTED_TEXT = (
     "trim(regexp_replace(title || ' ' || title || ' ' || body, '\\s+', ' ', 'g'))"
 )
 
-_FINAL_STATE_CTE = f"""
+# The clean stage's SQL twin (operators/clean.py) — the engine folds
+# the CLEANED stream, so every oracle fold must too: an event clean
+# would drop (e.g. an I/U with null html from a null-text document)
+# must not become the oracle's LWW winner.
+_CLEANED_CTE = """
+  cleaned AS (
+    SELECT * FROM changelog
+    WHERE op IN ('I','U','D')
+      AND url IS NOT NULL AND url LIKE 'https://%' AND length(url) <= 8192
+      AND warc_ts IS NOT NULL
+      AND warc_ts >= TIMESTAMP '2000-01-01' AND warc_ts < TIMESTAMP '2100-01-01'
+      AND seq IS NOT NULL
+      AND ((op = 'D') = (html IS NULL))
+  )
+"""
+
+_FINAL_STATE_CTE = f"""{_CLEANED_CTE},
   ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY url
                                  ORDER BY warc_ts DESC, seq DESC) AS rn
-    FROM changelog
+    FROM cleaned
   ),
   final_pages AS (
     SELECT url, warc_ts, {_EXTRACTED_TEXT} AS text, lang
@@ -118,7 +134,7 @@ _FINAL_STATE_CTE = f"""
     oracle=f"""
     WITH {_CHANGELOG_CTE}
     SELECT seq, epoch, op, url, warc_ts, lang,
-           CASE WHEN html IS NULL THEN -1 ELSE length(html) END AS html_len,
+           CASE WHEN html IS NULL THEN -1 ELSE strlen(html) END AS html_len,
            md5(html) AS html_md5
     FROM changelog
     """,
@@ -150,15 +166,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_lww_winners",
     oracle=f"""
     WITH {_CHANGELOG_CTE},
-    cleaned AS (
-      SELECT * FROM changelog
-      WHERE op IN ('I','U','D')
-        AND url IS NOT NULL AND url LIKE 'https://%' AND length(url) <= 8192
-        AND warc_ts IS NOT NULL
-        AND warc_ts >= TIMESTAMP '2000-01-01' AND warc_ts < TIMESTAMP '2100-01-01'
-        AND seq IS NOT NULL
-        AND ((op = 'D') = (html IS NULL))
-    ),
+    {_CLEANED_CTE.strip().rstrip()},
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY url
                                    ORDER BY warc_ts DESC, seq DESC) AS rn
@@ -190,10 +198,19 @@ def cdc_lww_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ingest_all(spark: SparkSession, sf_dir: str, replay: bool = False):
-    """Run the real engine over every epoch into a scratch warehouse."""
+    """Run the real engine over every epoch into a scratch warehouse.
+
+    The scratch root is removed at interpreter exit (atexit, not
+    inline: the returned warehouse's DataFrames read the table files
+    lazily until the caller's collect) — without it every cdc query
+    execution leaked a full pages+rollup copy under /tmp."""
+    import atexit
+    import shutil
+
     from etl_spark.pipeline import Warehouse, ingest_range
 
     root = tempfile.mkdtemp(prefix="etl_spark_wh_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     wh = Warehouse.init(os.path.join(root, "wh"))
     provider = epoch_provider(spark, sf_dir, evolve_epoch=EVOLVE_EPOCH)
     ingest_range(spark, wh, provider, range(N_EPOCHS))

@@ -88,10 +88,12 @@ def easter_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
     years = o.select(F.year("o_orderdate").alias("year")).distinct()
     month, day = easter_month_day(F.col("year"))
     easter = years.select("year", F.make_date(F.col("year"), month, day).alias("e"))
+    # carry `e` through the explode — no self-join needed to recover it
     return easter.select(
         "year",
         F.explode(F.array(*[F.lit(o_) for o_ in EASTER_OFFSETS])).alias("offset_days"),
-    ).join(easter, "year").select(
+        "e",
+    ).select(
         "year",
         "offset_days",
         F.date_add(F.col("e"), F.col("offset_days")).alias("holiday"),
@@ -275,15 +277,14 @@ def heatmap_mapalgebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    a, b = layer("click"), layer("view")
-    a = a.select(F.col("px").alias("a_px"), F.col("py").alias("a_py"), F.col("cnt").alias("a_cnt"))
-    b = b.select(F.col("px").alias("b_px"), F.col("py").alias("b_py"), F.col("cnt").alias("b_cnt"))
-    j = a.join(
-        b, (F.col("a_px") == F.col("b_px")) & (F.col("a_py") == F.col("b_py")), "full_outer"
-    )
-    return j.select(
-        F.coalesce(F.col("a_px"), F.col("b_px")).alias("px"),
-        F.coalesce(F.col("a_py"), F.col("b_py")).alias("py"),
+    a = layer("click").withColumnRenamed("cnt", "a_cnt")
+    b = layer("view").withColumnRenamed("cnt", "b_cnt")
+    # USING-style full outer join: Spark auto-coalesces the key columns,
+    # and keeping their names intact lets Catalyst reuse the
+    # aggregations' (px, py) hash partitioning for the join
+    return a.join(b, ["px", "py"], "full_outer").select(
+        "px",
+        "py",
         (F.coalesce(F.col("a_cnt"), F.lit(0)) - F.coalesce(F.col("b_cnt"), F.lit(0))).alias(
             "diff"
         ),

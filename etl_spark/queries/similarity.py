@@ -270,10 +270,7 @@ _SIG_SQL = " || ".join(
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
-             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))
-              * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i]))))
-             AS cos_raw
+             {_COS} AS cos_raw
       FROM sigs q JOIN sigs c ON q.sig = c.sig
        AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
     ),
