@@ -192,20 +192,34 @@ def merge_epoch(
     ts = order_cols[0]
     payload_names = {f.name for f in schema.fields}
     tiebreak = order_cols[1] if len(order_cols) > 1 else None
+    # Null-total ordering on the PRIMARY order column too (nulls = -inf,
+    # type-agnostically via isNull tests instead of a typed sentinel):
+    # `_d_ts > NULL` is NULL, which would make delta_wins NULL, fail
+    # keep_delta AND keep_current, and silently DROP the key — the same
+    # hazard the tiebreak below already guards. The pages schema
+    # declares warc_ts non-nullable, but merge_epoch is a generic API
+    # over any order column.
+    d_ts, c_ts = F.col(f"_d_{ts}"), cur[ts]
+    # explicit when-chain, not (d > c) | ...: a null operand makes the
+    # comparison NULL and `NULL OR false` is still NULL — the exact
+    # three-valued leak being closed
+    ts_gt = (
+        F.when(d_ts.isNull(), F.lit(False))
+        .when(c_ts.isNull(), F.lit(True))
+        .otherwise(d_ts > c_ts)
+    )
+    ts_eq = d_ts.eqNullSafe(c_ts)
     if tiebreak is not None and tiebreak in payload_names:
         # BOTH sides null-coalesce to -inf: a null seq anywhere must
         # degrade to the ties-go-to-delta rule, never make the whole
-        # comparison NULL (a NULL delta_wins would fail keep_delta AND
-        # keep_current and silently drop the key from the table).
+        # comparison NULL.
         cur_tb = F.coalesce(cur[tiebreak], F.lit(-(2**63)).cast("long"))
         d_tb = F.coalesce(
             F.col(f"_d_{tiebreak}"), F.lit(-(2**63)).cast("long")
         )
-        newer = (F.col(f"_d_{ts}") > cur[ts]) | (
-            (F.col(f"_d_{ts}") == cur[ts]) & (d_tb >= cur_tb)
-        )
+        newer = ts_gt | (ts_eq & (d_tb >= cur_tb))
     else:
-        newer = F.col(f"_d_{ts}") >= cur[ts]
+        newer = ts_gt | ts_eq
     delta_wins = delta_present & (~current_present | newer)
     is_d = F.col("_d_op") == F.lit("D")
     tombstoning = DELETED_COL in payload_names

@@ -33,9 +33,15 @@ def get_spark(
 
     ``parallelism`` -> ``local[N]`` master; defaults to
     ``$SPARK_GRAFT_CPUS`` or all cores. ``shuffle_partitions`` defaults
-    to the parallelism (local mode: ~1 partition per core; a 200-ish
-    default over-parallelizes small local data and under-parallelizes
-    100 TB — at cluster scale this is set to 2-3x total cores).
+    to 4x the parallelism (tail-smoothing; see the inline comment — a
+    200-ish default over-parallelizes small local data and
+    under-parallelizes 100 TB; at cluster scale set 2-4x total cores).
+
+    NOTE getOrCreate semantics: if a SparkSession already exists in
+    this process, its config WINS and every argument here is silently
+    ignored by Spark — this function warns when the existing master
+    differs from the request, so a same-process "A/B at two core
+    counts" can't silently measure one config twice.
     """
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -71,6 +77,18 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    got_master = spark.sparkContext.master
+    want_master = f"local[{parallelism}]"
+    if got_master != want_master:
+        import warnings
+
+        warnings.warn(
+            f"get_spark requested {want_master} but reused an existing "
+            f"session on {got_master}; all requested confs were ignored "
+            "(Spark getOrCreate semantics) — stop the existing session "
+            "or run in a fresh process for a real config change",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
@@ -82,7 +100,14 @@ def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> 
     interpreter starts (pandas/pyarrow imports) inside the measurement
     — a fixed cost that belongs to cluster startup, not steady-state
     throughput. Workers are reused afterwards
-    (spark.python.worker.reuse is on by default)."""
+    (spark.python.worker.reuse is on by default).
+
+    The aggregate CONSUMES the UDF output — a bare ``select(...).
+    count()`` lets Catalyst prune the unused deterministic projection
+    and the UDF never runs (verified empirically: a side-effect UDF
+    under count() executed zero times), which silently turned this
+    warm-up into a no-op and pushed worker startup back inside the
+    timed section."""
     import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -94,6 +119,7 @@ def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> 
 
     (
         spark.range(parallelism * 4, numPartitions=parallelism)
-        .select(_noop(F.col("id")))
-        .count()
+        .select(_noop(F.col("id")).alias("x"))
+        .agg(F.count("x"))
+        .collect()
     )

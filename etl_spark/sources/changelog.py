@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from etl_spark.sources.readers import load_table
 
 BASE_TS = "2024-01-01 00:00:00"
+# epoch-microseconds of BASE_TS (UTC) for exact-integer timestamp math
+_BASE_US = 1_704_067_200 * 1_000_000
 
 # The arithmetic core below is mirrored 1:1 by oracle SQL in
 # __spark_entry__.py (cdc_* queries) — keep the two in sync.
@@ -178,7 +180,13 @@ def changes_at_scale(
         .when(F.pmod(F.xxhash64(F.col("id")), F.lit(37)) == 0, F.lit("D"))
         .otherwise(F.lit("U"))
     )
-    warc_ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=F.col("id").cast("double"))
+    # 1 ms per event via exact integer microseconds: at 1 s per event
+    # the stream crossed clean_changes' warc_ts < 2100-01-01 sanity
+    # bound at id ~ 2.4e9, silently dropping ~76% of a 10^10-event
+    # bench log; ms spacing stays in-bounds to ~2.4e12 events and keeps
+    # the strict id ordering LWW expects (no float rounding —
+    # timestamp_micros takes a long).
+    warc_ts = F.timestamp_micros(F.lit(_BASE_US) + F.col("id") * F.lit(1000))
     # Payload entropy matters: a single repeated hash compresses ~30x,
     # which (a) misrepresents web text (gzip on HTML is ~3-5x) and
     # (b) collapses AQE's compressed-size-based partition coalescing,

@@ -219,3 +219,38 @@ def test_empty_epoch_rollup_is_metadata_only(spark, tmp_path, strategy):
     assert 1 in wh.rollup.applied_epochs()
     assert wh.pages.snapshot().files == pages_files
     assert wh.rollup.snapshot().files == rollup_files
+
+
+def test_merge_null_primary_order_col_never_drops_key(spark, tmp_path):
+    """Generic-API hardening: for a table whose event-time column is
+    nullable, a null ts on EITHER side of the arbitration must compare
+    as -inf (total order), never turn delta_wins NULL and drop the key
+    from the bucket rewrite."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k"], 2)
+
+    def delta(rows):
+        return spark.createDataFrame(
+            rows, "k string, warc_ts string, seq long, v string, op string"
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    # stored row with NULL ts; a concrete-ts delta must beat it
+    merge_epoch(spark, t, delta([("a", None, 1, "old", "I")]), 0, pre_deduped=True)
+    merge_epoch(spark, t, delta([("a", "2024-01-01 00:00:00", 2, "new", "U")]), 1, pre_deduped=True)
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows == {"a": "new"}
+    # and the reverse: a NULL-ts delta loses but never erases the key
+    merge_epoch(spark, t, delta([("a", None, 3, "late-null", "U")]), 2, pre_deduped=True)
+    rows = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert rows == {"a": ("new", 2)}

@@ -295,3 +295,25 @@ def test_changes_at_scale_payload_byte_contract(spark):
     base = html_len(5)
     assert html_len(10) - base == 32 * 5   # linear in the knob
     assert html_len(6) - html_len(5) == 32  # resolution below 8 blocks
+
+
+def test_changes_at_scale_timestamps_stay_inside_clean_bounds(spark):
+    """At 10^10-event scale the generator's timestamps must stay below
+    clean's ts < 2100 sanity bound (second-spaced stamps crossed it at
+    id ~ 2.4e9, silently dropping the tail of the stream)."""
+    import datetime as dt
+
+    from etl_spark.operators.clean import clean_changes
+    from etl_spark.sources.changelog import changes_at_scale
+
+    huge = 10_000_000_000
+    tail = changes_at_scale(spark, huge, id_range=(huge - 64, huge))
+    rows = tail.select("warc_ts").collect()
+    assert len(rows) == 64
+    assert all(r.warc_ts < dt.datetime(2100, 1, 1) for r in rows)
+    # and the clean stage keeps the tail (op mix aside, nothing is
+    # dropped for timestamp reasons: cleaned count == valid-op count)
+    assert clean_changes(tail).count() > 0
+    # strict ordering preserved (LWW depends on it)
+    ts = [r.warc_ts for r in tail.orderBy("seq").collect()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
