@@ -40,9 +40,14 @@ Scale design (100 TB, 1000 executors)
   listing of the whole table, no partition discovery job.
 * Manifests are O(n_buckets x files-per-bucket) JSON — thousands of
   entries, driver-side trivial (same shape as an Iceberg manifest list).
-* Commits are single-writer (the streaming driver), matching the
-  reference's single-ETL-client design; the atomic rename gives
-  readers snapshot isolation.
+* Commits are optimistic-concurrency guarded (the Iceberg commit
+  protocol shape): version ids are claimed atomically (O_EXCL claim
+  marker, never reused), the HEAD swap runs under a short O_EXCL lock
+  with a parent check, and a loser either rebases its metadata onto
+  the new head (appends, disjoint-bucket merges) or raises
+  :class:`CommitConflictError` loudly (overlapping bucket rewrites) —
+  never a silently dropped snapshot. The atomic rename gives readers
+  snapshot isolation either way.
 """
 
 from __future__ import annotations
@@ -52,6 +57,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Iterable
 
@@ -65,6 +71,12 @@ BUCKET_COL = "_bucket"
 # reads, arbitrated like live rows by MERGE, GC'd by expire_tombstones.
 DELETED_COL = "_deleted"
 _PARTITION_DIR_COL = "_pb"  # directory-layout twin of BUCKET_COL
+
+
+class CommitConflictError(RuntimeError):
+    """Two writers raced a commit and the loser's changes could not be
+    rebased safely (overlapping bucket rewrite, or a stale/stuck commit
+    lock). The losing commit is NOT applied; retry after inspecting."""
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -89,6 +101,14 @@ class Snapshot:
     applied_epochs: list[int]
     summary: dict
     committed_at: float
+    # Manifest-level tombstone statistics (Iceberg delete-file stats
+    # analog): {"col": <event-time col>, "buckets": {bucket: [count,
+    # min-event-time-iso-or-null]}}. A bucket PRESENT in "buckets" has
+    # known tombstone state ([0, null] = clean, prunable); a bucket
+    # with files but no entry is UNKNOWN and must be scanned. Lets
+    # expire_tombstones prune its discovery scan to buckets whose
+    # min is past the horizon instead of reading the whole table.
+    tombstone_stats: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -106,6 +126,7 @@ class Snapshot:
                 "applied_epochs": self.applied_epochs,
                 "summary": self.summary,
                 "committed_at": self.committed_at,
+                "tombstone_stats": self.tombstone_stats,
             },
             indent=1,
         )
@@ -211,15 +232,159 @@ class LakeTable:
     def applied_epochs(self) -> set[int]:
         return set(self.snapshot().applied_epochs)
 
-    def _next_version(self) -> int:
-        """Allocate version ids ABOVE every existing snapshot, not
-        head+1: after ``rollback(v)`` the next commit starts a new
-        branch, and head+1 would reuse — and overwrite, manifest and
-        data directory both — the rolled-back branch's numbers,
-        destroying files that later snapshots still reference. With
-        max+1, the abandoned branch stays readable for time travel
-        (same rule Iceberg follows: snapshot ids are never reused)."""
-        return self.versions()[-1] + 1
+    def _claim_version(self) -> int:
+        """Atomically allocate a version id ABOVE every existing
+        snapshot AND every outstanding claim, not head+1.
+
+        Two rules, both Iceberg's: (1) after ``rollback(v)`` the next
+        commit starts a new branch, and head+1 would reuse — and
+        overwrite, manifest and data directory both — the rolled-back
+        branch's numbers, destroying files that later snapshots still
+        reference; (2) two concurrent writers must never allocate the
+        same id, so the claim is an O_EXCL marker file — the loser's
+        O_EXCL fails and it moves to the next id. A crashed writer's
+        leftover claim permanently skips that number, which is exactly
+        the never-reuse rule. Claims cost one inode each; they are
+        removed with their snapshot by expire_snapshots."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        v = (
+            max(
+                int(f[1:].split(".", 1)[0])
+                for f in os.listdir(snap_dir)
+                if f.endswith((".json", ".claim"))
+            )
+            + 1
+        )
+        while True:
+            try:
+                fd = os.open(
+                    self._snap_path(v) + ".claim",
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return v
+            except FileExistsError:
+                v += 1
+
+    @contextmanager
+    def _commit_lock(self, timeout: float = 10.0):
+        """Serialize the (head-check, snapshot-write, head-swap)
+        critical section across writers on one warehouse. The section
+        is two tiny file writes, so the lock is held for milliseconds;
+        a lock outliving ``timeout`` means a writer died inside it —
+        fail loudly with the path so an operator can clear it."""
+        path = os.path.join(self.root, "_COMMIT_LOCK")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() >= deadline:
+                    raise CommitConflictError(
+                        f"commit lock {path} held for >{timeout}s; a writer "
+                        "likely died mid-commit — remove the lock file after "
+                        "verifying no commit is in flight"
+                    )
+                time.sleep(0.005)
+        try:
+            os.close(fd)
+            yield
+        finally:
+            os.unlink(path)
+
+    def _scan_tombstone_stats(
+        self,
+        spark: SparkSession,
+        rel_paths: list[str],
+        event_time_col: str,
+        schema: T.StructType,
+    ) -> dict[str, list] | None:
+        """Per-bucket [tombstone count, min event time] over a set of
+        just-written files — the write-time stats collection that lets
+        expire_tombstones prune. Column-pruned to 3 columns and sized
+        by the epoch's write, not the table; driver result is bounded
+        by n_buckets. Returns None when the table shape can't carry
+        stats (no tombstone column, or a non-temporal event column)."""
+        et_field = next(
+            (f for f in schema.fields if f.name == event_time_col), None
+        )
+        if (
+            et_field is None
+            or not isinstance(et_field.dataType, (T.TimestampType, T.DateType))
+            or not any(f.name == DELETED_COL for f in schema.fields)
+            or not rel_paths
+        ):
+            return None
+        read_schema = T.StructType(
+            [
+                T.StructField(BUCKET_COL, T.IntegerType(), False),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+                T.StructField(event_time_col, et_field.dataType, True),
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(self.root, p) for p in rel_paths]
+        )
+        dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        rows = (
+            df.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(dead.cast("long")).alias("n"),
+                F.min(F.when(dead, F.col(event_time_col))).alias("mn"),
+            )
+            .collect()
+        )
+        return {
+            str(r[BUCKET_COL]): [
+                int(r["n"] or 0),
+                r["mn"].isoformat() if r["mn"] is not None else None,
+            ]
+            for r in rows
+        }
+
+    @staticmethod
+    def _merge_tombstone_stats(
+        head: Snapshot,
+        written: dict[str, list[str]],
+        touched_buckets: Iterable[int] | None,
+        overwrite_all: bool,
+        written_stats: dict[str, list] | None,
+        event_time_col: str | None,
+    ) -> dict:
+        """Next snapshot's tombstone_stats: carry forward untouched
+        buckets, drop replaced buckets (unknown unless recomputed),
+        overlay the just-written buckets' fresh stats."""
+        head_stats = head.tombstone_stats or {}
+        # a caller naming the event-time column adopts it even when the
+        # write produced no files (e.g. GC emptied the last marker)
+        col = event_time_col or head_stats.get("col")
+        if not col:
+            return {}
+        buckets: dict = {}
+        if not overwrite_all and head_stats.get("col") == col:
+            buckets.update(head_stats.get("buckets", {}))
+        for b in touched_buckets or []:
+            buckets.pop(str(b), None)
+        if written_stats is not None:
+            buckets.update(written_stats)
+        else:
+            # rewritten without a stats pass -> state unknown, must scan
+            for b in written:
+                buckets.pop(b, None)
+        return {"col": col, "buckets": buckets}
+
+    def _publish(self, snap: Snapshot) -> bool:
+        """Attempt the atomic publish: holds the commit lock, verifies
+        HEAD still equals ``snap.parent``, then writes the manifest and
+        swaps HEAD. Returns False (without publishing) if another
+        writer moved HEAD first — the caller rebases and retries."""
+        with self._commit_lock():
+            if self.head_version() != snap.parent:
+                return False
+            self._write_snapshot(snap)
+            self._swap_head(snap.version)
+            return True
 
     # -- read ---------------------------------------------------------------
     def read(
@@ -320,6 +485,7 @@ class LakeTable:
         overwrite_all: bool = False,
         already_bucket_partitioned: bool = False,
         n_buckets: int | None = None,
+        event_time_col: str | None = None,
     ) -> Snapshot:
         """Write ``new_data`` (with BUCKET_COL) and commit a snapshot.
 
@@ -327,41 +493,92 @@ class LakeTable:
         data; untouched buckets carry forward (bucket-granular
         copy-on-write). ``overwrite_all`` replaces every bucket.
         Metadata-only commits (schema evolution) pass ``new_data=None``.
+        ``event_time_col``: when given (and the table carries the
+        tombstone column), per-bucket tombstone stats over the written
+        files are recorded in the manifest so expire_tombstones can
+        prune its discovery scan; without it the written buckets'
+        tombstone state is marked unknown.
         """
         head = self.snapshot()
         if applied_epoch is not None and applied_epoch in head.applied_epochs:
             return head  # exactly-once: epoch already applied
-        version = self._next_version()
+        version = self._claim_version()
         if new_data is not None:
             written = self._write_data(
                 new_data, version, already_partitioned=already_bucket_partitioned
             )
         else:
             written = {}
-        if overwrite_all:
-            files = written
-        else:
-            files = dict(head.files)
-            for b in touched_buckets or []:
-                files.pop(str(b), None)
-            files.update(written)
-        epochs = list(head.applied_epochs)
-        if applied_epoch is not None:
-            epochs.append(applied_epoch)
-        snap = Snapshot(
-            version=version,
-            parent=head.version,
-            schema_json=json.dumps((schema or head.schema).jsonValue()),
-            key_cols=head.key_cols,
-            n_buckets=n_buckets or head.n_buckets,
-            files=files,
-            applied_epochs=sorted(epochs),
-            summary=summary or {},
-            committed_at=time.time(),
-        )
-        self._write_snapshot(snap)
-        self._swap_head(version)
-        return snap
+        written_stats = None
+        if new_data is not None and event_time_col is not None and written:
+            written_stats = self._scan_tombstone_stats(
+                new_data.sparkSession,
+                [p for plist in written.values() for p in plist],
+                event_time_col,
+                schema or head.schema,
+            )
+        # Optimistic-concurrency publish loop (the Iceberg commit
+        # protocol shape): data files are written once above; the
+        # metadata (files dict, epochs, parent) is rebuilt against the
+        # current head on every attempt, so a lost race rebases instead
+        # of silently clobbering the winner's snapshot.
+        while True:
+            if overwrite_all:
+                files = written
+            else:
+                files = dict(head.files)
+                for b in touched_buckets or []:
+                    files.pop(str(b), None)
+                files.update(written)
+            epochs = list(head.applied_epochs)
+            if applied_epoch is not None:
+                epochs.append(applied_epoch)
+            snap = Snapshot(
+                version=version,
+                parent=head.version,
+                schema_json=json.dumps((schema or head.schema).jsonValue()),
+                key_cols=head.key_cols,
+                n_buckets=n_buckets or head.n_buckets,
+                files=files,
+                applied_epochs=sorted(epochs),
+                summary=summary or {},
+                committed_at=time.time(),
+                tombstone_stats=self._merge_tombstone_stats(
+                    head,
+                    written,
+                    touched_buckets,
+                    overwrite_all,
+                    written_stats,
+                    event_time_col,
+                ),
+            )
+            if self._publish(snap):
+                return snap
+            # Lost the race. Re-read the winner's head and decide:
+            new_head = self.snapshot()
+            if applied_epoch is not None and applied_epoch in new_head.applied_epochs:
+                return new_head  # the other writer applied this epoch
+            if not overwrite_all:
+                # Write-write conflict: the winner changed a bucket this
+                # commit is about to replace — its rows were merged
+                # against a stale current-side read, so a rebase would
+                # silently drop the winner's changes. Fail loudly.
+                clashed = [
+                    b
+                    for b in (touched_buckets or [])
+                    if new_head.files.get(str(b)) != head.files.get(str(b))
+                ]
+                if clashed:
+                    raise CommitConflictError(
+                        f"concurrent commit v{new_head.version} rewrote "
+                        f"buckets {clashed[:8]} that this commit also "
+                        "touches; re-run the merge against the new head"
+                    )
+            head = new_head
+            # fresh id so snapshot versions stay monotone with commit
+            # order (the claimed data dir's files remain referenced by
+            # their recorded relative paths)
+            version = self._claim_version()
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
         """Append-only commit (the lineage/audit path): rows hash into
@@ -371,29 +588,37 @@ class LakeTable:
         which is why append-mode tables need periodic
         ``compact_files``."""
         head = self.snapshot()
-        version = self._next_version()
+        version = self._claim_version()
         with_bucket = df.withColumn(
             BUCKET_COL, bucket_expr(head.key_cols, head.n_buckets)
         )
         written = self._write_data(with_bucket, version)
-        files = dict(head.files)
-        for bucket, paths in written.items():
-            files.setdefault(bucket, [])
-            files[bucket] = files[bucket] + paths
-        snap = Snapshot(
-            version=version,
-            parent=head.version,
-            schema_json=head.schema_json,
-            key_cols=head.key_cols,
-            n_buckets=head.n_buckets,
-            files=files,
-            applied_epochs=list(head.applied_epochs),
-            summary=summary or {"operation": "append"},
-            committed_at=time.time(),
-        )
-        self._write_snapshot(snap)
-        self._swap_head(version)
-        return snap
+        # Appends only EXTEND file lists, so a lost commit race always
+        # rebases cleanly onto the winner's head (no overlap possible).
+        while True:
+            files = dict(head.files)
+            for bucket, paths in written.items():
+                files.setdefault(bucket, [])
+                files[bucket] = files[bucket] + paths
+            snap = Snapshot(
+                version=version,
+                parent=head.version,
+                schema_json=head.schema_json,
+                key_cols=head.key_cols,
+                n_buckets=head.n_buckets,
+                files=files,
+                applied_epochs=list(head.applied_epochs),
+                summary=summary or {"operation": "append"},
+                committed_at=time.time(),
+                # appended buckets' tombstone state becomes unknown
+                tombstone_stats=self._merge_tombstone_stats(
+                    head, written, None, False, None, None
+                ),
+            )
+            if self._publish(snap):
+                return snap
+            head = self.snapshot()
+            version = self._claim_version()
 
     # -- schema evolution -----------------------------------------------------
     def add_columns(self, new_fields: list[T.StructField]) -> Snapshot:
@@ -438,6 +663,9 @@ class LakeTable:
                         if os.path.exists(full):
                             os.remove(full)
             os.remove(self._snap_path(v))
+            claim = self._snap_path(v) + ".claim"
+            if os.path.exists(claim):
+                os.remove(claim)  # id can't be reused: higher snapshots exist
             removed.append(v)
         return removed
 
@@ -482,6 +710,9 @@ class LakeTable:
             overwrite_all=True,
             # NOT already-partitioned: the repartition(BUCKET_COL) inside
             # _write_data is what collapses each bucket to one file.
+            # Recompute tombstone stats under the column already on
+            # record so the full rewrite doesn't reset GC pruning.
+            event_time_col=(snap.tombstone_stats or {}).get("col"),
             summary={"operation": "compact_files", "was_files": n_files},
         )
 
@@ -514,6 +745,7 @@ class LakeTable:
             df,
             overwrite_all=True,
             n_buckets=new_n_buckets,
+            event_time_col=(head.tombstone_stats or {}).get("col"),
             summary={
                 "operation": "rebucket",
                 "from": head.n_buckets,
@@ -538,18 +770,31 @@ class LakeTable:
         Bucket-granular: only buckets holding expirable markers are
         rewritten; the commit is a normal snapshot (rollback-able), not
         an epoch, so replay bookkeeping is untouched.
+
+        Discovery is manifest-pruned: commits record per-bucket
+        [tombstone count, min event time] (``tombstone_stats``), so the
+        scan touches only buckets whose recorded min is past the
+        horizon (plus any bucket with unknown state); at 100 TB a GC
+        pass with nothing expirable costs zero data reads instead of a
+        whole-table scan. Buckets written before stats existed fall
+        back to being scanned once, after which their state is known.
         """
         snap = self.snapshot()
         if not any(f.name == DELETED_COL for f in snap.schema.fields):
             return snap
+        candidates = self._expirable_candidates(snap, older_than, event_time_col)
+        if candidates is not None and not candidates:
+            return snap  # manifest proves nothing is expirable: no scan
         horizon = F.to_timestamp(F.lit(older_than)) if isinstance(older_than, str) else F.lit(older_than)
         is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
             F.col(event_time_col) < horizon
         )
-        all_rows = self.read(spark, with_bucket=True, include_deleted=True)
+        scan = self.read(
+            spark, buckets=candidates, with_bucket=True, include_deleted=True
+        )
         touched = [
             int(r[0])
-            for r in all_rows.filter(is_dead).select(BUCKET_COL).distinct().collect()
+            for r in scan.filter(is_dead).select(BUCKET_COL).distinct().collect()
         ]
         if not touched:
             return snap
@@ -559,8 +804,43 @@ class LakeTable:
         return self.commit(
             survivors,
             touched_buckets=touched,
+            event_time_col=event_time_col,
             summary={
                 "operation": "expire_tombstones",
                 "buckets": len(touched),
             },
         )
+
+    @staticmethod
+    def _expirable_candidates(
+        snap: Snapshot, older_than, event_time_col: str
+    ) -> list[int] | None:
+        """Buckets that COULD hold an expirable tombstone, per the
+        manifest stats: known-min past the horizon, or state unknown.
+        None = no usable stats (or unparseable horizon) -> scan all."""
+        import datetime as dt
+
+        stats = snap.tombstone_stats or {}
+        if stats.get("col") != event_time_col:
+            return None
+        if isinstance(older_than, dt.datetime):
+            horizon_py = older_than
+        else:
+            try:
+                horizon_py = dt.datetime.fromisoformat(str(older_than))
+            except ValueError:
+                return None
+        if horizon_py.tzinfo is not None:
+            # recorded mins are session-naive; don't guess a tz mapping
+            return None
+        known = stats.get("buckets", {})
+        out = []
+        for b in snap.files:
+            ent = known.get(b)
+            if ent is None:
+                out.append(int(b))  # unknown state: must scan
+                continue
+            n, mn = ent
+            if n and mn is not None and dt.datetime.fromisoformat(mn) < horizon_py:
+                out.append(int(b))
+        return out

@@ -17,6 +17,7 @@ import time
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 import etl_spark
 from etl_spark.lake.table import LakeTable
@@ -64,6 +65,20 @@ class LineageLog:
         if self.table is None or not self.rows:
             self.rows.clear()
             return
+        # Additive schema evolution for the lineage table itself: a
+        # warehouse initialized before a LINEAGE_SCHEMA field was added
+        # (e.g. ``status`` in 0.2) keeps its old snapshot schema, and
+        # LakeTable.read's explicit read-schema would silently drop the
+        # new columns forever. Evolve on flush, same as the pages table.
+        have = {f.name for f in self.table.snapshot().schema.fields}
+        missing = [
+            # forced nullable: pre-evolution files read the column as null
+            T.StructField(f.name, f.dataType, True)
+            for f in LINEAGE_SCHEMA.fields
+            if f.name not in have
+        ]
+        if missing:
+            self.table.add_columns(missing)
         df = spark.createDataFrame(self.rows, LINEAGE_SCHEMA)
         import pyspark.sql.functions as F
 

@@ -67,14 +67,28 @@ def lww_dedup_window(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
 
 def _hot_key_predicate(key_cols: list[str], hot_keys: list[tuple]) -> F.Column:
     """Map-side membership test for a small driver-known hot-key list
-    (<= top_n from the histogram) — an In/isin predicate, no join."""
+    (<= top_n from the histogram) — an In/isin predicate, no join.
+
+    Null-safe by construction: the returned predicate is never NULL, so
+    ``filter(pred)`` / ``filter(~pred)`` partition the input exactly.
+    A plain ``isin`` would go three-valued on a NULL key column (the
+    row then vanishes from BOTH branches), and a NULL inside the isin
+    list would null-out the predicate for every non-matching row —
+    on a dirty pre-clean stream (where ``hot_key_histogram`` can
+    legitimately return a ``(None,)`` key) that silently dropped all
+    cold keys."""
     if len(key_cols) == 1:
-        return F.col(key_cols[0]).isin([k[0] for k in hot_keys])
+        col = F.col(key_cols[0])
+        vals = [k[0] for k in hot_keys if k[0] is not None]
+        pred = F.coalesce(col.isin(vals), F.lit(False)) if vals else F.lit(False)
+        if any(k[0] is None for k in hot_keys):
+            pred = pred | col.isNull()
+        return pred
     pred = F.lit(False)
     for kt in hot_keys:
         conj = F.lit(True)
         for c, v in zip(key_cols, kt):
-            conj = conj & (F.col(c) == F.lit(v))
+            conj = conj & F.col(c).eqNullSafe(F.lit(v))
         pred = pred | conj
     return pred
 
@@ -106,6 +120,11 @@ def salted_lww_dedup(
     """
     if hot_keys:
         pred = _hot_key_predicate(key_cols, hot_keys)
+        # pred is never-NULL (see _hot_key_predicate), so the two
+        # branches partition the input exactly; coalesce is belt and
+        # braces so a future predicate change can't leak rows out of
+        # both branches again.
+        pred = F.coalesce(pred, F.lit(False))
         hot_side = salted_lww_dedup(
             df.filter(pred), key_cols, order_cols, n_salts, salt_source
         )

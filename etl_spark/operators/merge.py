@@ -260,6 +260,7 @@ def merge_epoch(
         merged,
         touched_buckets=touched,
         applied_epoch=epoch,
+        event_time_col=order_cols[0],
         summary={
             "operation": "merge",
             "epoch": epoch,

@@ -345,12 +345,23 @@ def merge_epoch_spj(
     # Ship each tie-break column as a sentinel-filled non-null long
     # shadow so it crosses the Arrow boundary as exact int64 (see
     # TB_SENTINEL above); the kernel restores nullable Int64 and drops
-    # the shadow before writing.
+    # the shadow before writing. Tie-break columns must be integral:
+    # fail loudly here rather than an ANSI cast abort mid-job (or a
+    # silent null under try_cast) — and TB_SENTINEL stays a reserved
+    # value only within the integral domain the caller opted into.
     for c in order_cols[1:]:
         if c in delta.columns:
+            dt = delta.schema[c].dataType
+            if not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise TypeError(
+                    f"merge_epoch_spj tie-break column {c!r} must be an "
+                    f"integral type, got {dt.simpleString()}"
+                )
             delta = delta.withColumn(
                 f"{c}__tb",
-                F.coalesce(F.col(c).cast("long"), F.lit(TB_SENTINEL)),
+                F.coalesce(F.col(c).try_cast("long"), F.lit(TB_SENTINEL)),
             )
     bucketed = delta.withColumn(BUCKET_COL, bucket_expr(key_cols, snap.n_buckets))
     out_schema = T.StructType(
@@ -372,6 +383,10 @@ def merge_epoch_spj(
         touched_buckets=touched,
         applied_epoch=epoch,
         already_bucket_partitioned=True,
+        # the LWW order column is the stream's event time: recording
+        # per-bucket tombstone stats here is what lets expire_tombstones
+        # prune its GC discovery scan to prunable buckets
+        event_time_col=order_cols[0],
         summary={
             "operation": "merge_spj",
             "epoch": epoch,

@@ -317,3 +317,84 @@ def test_changes_at_scale_timestamps_stay_inside_clean_bounds(spark):
     # strict ordering preserved (LWW depends on it)
     ts = [r.warc_ts for r in tail.orderBy("seq").collect()]
     assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_cross_parallelism_byte_identity(tmp_path):
+    """North-rule scaling criterion, correctness half: the SAME change
+    log ingested by two drivers at different parallelism (local[1] vs
+    local[4]) must produce BYTE-identical table state — per-url sha256
+    over every payload column, not just matching row counts. Runs the
+    real CLI in subprocesses so each level gets its own JVM, shuffle
+    partitioning, and task layout."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    roots = {}
+    for cpus in (1, 4):
+        root = str(tmp_path / f"wh_{cpus}")
+        roots[cpus] = root
+        for argv in (
+            ["--init", "--warehouse", root, "--n-buckets", "4"],
+            [
+                "--ingest",
+                "--warehouse", root,
+                "--source", SF_SMALL,
+                "--from-epoch", "0",
+                "--to-epoch", "3",
+                "--cpus", str(cpus),
+            ],
+        ):
+            proc = subprocess.run(
+                [sys.executable, "-m", "etl_spark.main", *argv],
+                capture_output=True,
+                text=True,
+                cwd="/root/repo",
+                timeout=600,
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+
+    def fingerprint(root):
+        """Read final table state engine-independently (duckdb over the
+        manifest's live files) and hash every payload byte per url."""
+        import json
+        import os
+
+        root = os.path.join(root, "pages")
+        with open(os.path.join(root, "_HEAD")) as fh:
+            v = int(fh.read().strip())
+        with open(
+            os.path.join(root, "_snapshots", f"v{v:06d}.json")
+        ) as fh:
+            snap = json.load(fh)
+        paths = [
+            os.path.join(root, p)
+            for plist in snap["files"].values()
+            for p in plist
+        ]
+        con = duckdb.connect()
+        rows = con.execute(
+            """
+            SELECT url,
+                   md5(
+                     concat_ws('|',
+                       coalesce(strftime(warc_ts, '%Y-%m-%dT%H:%M:%S.%f'), ''),
+                       coalesce(hex(html), ''),
+                       coalesce(text, ''),
+                       coalesce(lang, ''),
+                       coalesce(seq::varchar, '')
+                     )
+                   ) AS fp
+            FROM read_parquet($paths)
+            WHERE NOT coalesce(_deleted, false)
+            ORDER BY url
+            """,
+            {"paths": paths},
+        ).fetchall()
+        con.close()
+        return rows
+
+    fp1, fp4 = fingerprint(roots[1]), fingerprint(roots[4])
+    assert len(fp1) > 0
+    assert fp1 == fp4
