@@ -12,7 +12,7 @@ Protocol follows the reference's harness discipline
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] (default 32)
-  BENCH_INGEST_EVENTS  change events for the ingest bench (default 2_000_000)
+  BENCH_INGEST_EVENTS  change events for the ingest bench (default 8_000_000)
   BENCH_ITERS          timed iterations per query (default 3)
 """
 
@@ -41,6 +41,16 @@ HEADLINE_QUERIES = [
     "ann_bruteforce_topk",
     # two-level rollup
     "two_level_rollup",
+]
+
+# Scale paths tracked since r4 but kept OUT of the headline set (and
+# out of `value`) so round-over-round totals stay comparable with
+# r1-r3; these get their own timing dict in the JSON.
+SECONDARY_QUERIES = [
+    # learned-index ANN dedup end to end (index -> probe -> rerank)
+    "dedup_embedding_ivf",
+    # shuffle-free mapInPandas chunk packing
+    "segment_split",
 ]
 
 
@@ -112,7 +122,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    n_events = int(os.environ.get("BENCH_INGEST_EVENTS", "2000000"))
+    # 8M default since r4: the 2M runs were warm-up-dominated (78s
+    # warm-up vs 17s steady samples with a 28->17s spread); at 8M
+    # steady-state throughput dominates the estimate.
+    n_events = int(os.environ.get("BENCH_INGEST_EVENTS", "8000000"))
 
     from etl_spark.queries import load_all
     from etl_spark.session import get_spark
@@ -125,6 +138,11 @@ def main() -> None:
         queries[name] = round(
             _time_query(registry[name].fn, spark, sf_dir, iters), 3
         )
+    secondary: dict[str, float] = {}
+    for name in SECONDARY_QUERIES:
+        secondary[name] = round(
+            _time_query(registry[name].fn, spark, sf_dir, iters), 3
+        )
 
     ingest = run_ingest_bench(spark, n_events)
     total = round(sum(queries.values()) + ingest["wall_s"], 3)
@@ -135,6 +153,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # tracked scale paths, excluded from `value` for r1-r3
+        # comparability
+        "secondary_queries": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
         "cpus": cpus,

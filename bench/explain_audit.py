@@ -48,12 +48,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_max", "SortAggregate"],
         ["Window", "CartesianProduct"],
     ),
-    "anti_join_customers": (
-        ["LeftAnti"],
-        ["CartesianProduct"],
-    ),
-    "semi_join_suppliers": (
-        ["LeftSemi", "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"],
+    # one union, both probe halves: the anti side must plan LeftAnti,
+    # the semi side LeftSemi with its ship-date filter pushed to scan
+    "semi_anti_probe": (
+        ["LeftAnti", "LeftSemi",
+         "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"],
         ["CartesianProduct"],
     ),
     "dedup_minhash_lsh": (

@@ -32,17 +32,24 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str
+    # driver=False: kept out of the external driver's fixed 50-row
+    # correctness window but still oracle-checked by the local parity
+    # suite (tests/test_oracle_parity.py). Used for documented
+    # baselines whose scale-path successors hold the driver slots.
+    driver: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, driver: bool = True):
     """Register a named query. ``oracle`` is the DuckDB-runnable SQL
     twin (tables pre-registered as views by the driver)."""
 
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, (fn.__doc__ or "").strip(), driver
+        )
         return fn
 
     return deco

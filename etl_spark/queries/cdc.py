@@ -289,3 +289,28 @@ def cdc_rollup_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(spark, wh.rollup).select(
         "domain", "day_id", "n_pages", "text_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# The streaming watermarked aggregate, driver-proven via bounded batch
+# execution: F.window + approx_count_distinct is the exact expression
+# tree streaming/ingest.windowed_domain_counts attaches behind the
+# watermark (withWatermark is a no-op on a bounded input, so the plan
+# below IS the streaming plan minus state bookkeeping). approx_urls is
+# an HLL sketch — deterministic per engine but not reproducible in
+# DuckDB — so this row is registered rows-only; the exact-count twin of
+# the same grouping is already hash-proven by cdc_rollup_domain.
+# ---------------------------------------------------------------------------
+@query("windowed_domain_counts", oracle=None)
+def windowed_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(domain, 1h event-time window) stream rollup — count +
+    approx-distinct urls — executed in batch over the full bounded
+    change log (SURVEY §2.10; the streaming twin runs the identical
+    function inside the micro-batch driver with a 2h watermark)."""
+    from etl_spark.operators.clean import clean_changes
+    from etl_spark.streaming.ingest import windowed_domain_counts as wdc
+
+    log = changes_from_documents(spark, sf_dir, evolve_epoch=EVOLVE_EPOCH)
+    out = wdc(clean_changes(log))
+    # deterministic presentation order is the caller's job in batch
+    return out.orderBy("window_start", "domain")

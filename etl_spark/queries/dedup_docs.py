@@ -225,6 +225,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a_id, b_id, ROUND(cos_raw, 4) AS cosine
     FROM scored WHERE cos_raw >= {COSINE_THRESHOLD}
     """,
+    # local-only since r4: the driver slots go to the scale paths
+    # (dedup_embedding_blocked / dedup_embedding_ivf); this O(N^2)
+    # baseline stays oracle-checked by the local parity suite.
+    driver=False,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact cosine >= 0.45 over all (a<b)

@@ -129,37 +129,9 @@ def time_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query(
-    "timestamp_roundtrip",
-    oracle="""
-    SELECT o_orderkey,
-           (EXTRACT(year FROM o_orderdate)*10000 + EXTRACT(month FROM o_orderdate)*100
-              + EXTRACT(day FROM o_orderdate))::INT AS date_id,
-           strptime(lpad((EXTRACT(year FROM o_orderdate)*10000
-              + EXTRACT(month FROM o_orderdate)*100
-              + EXTRACT(day FROM o_orderdate))::VARCHAR, 8, '0') || '120000',
-              '%Y%m%d%H%M%S') AS reconstructed
-    FROM orders
-    """,
-)
-def timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3: timestamp_from_date_time_id — smart key back to timestamp
-    via lpad+concat+to_timestamp (01_smart_date_time_id.sql:1-11);
-    noon time_id fixed so the inverse is total."""
-    from etl_spark.functions.keys import smart_date_id
-
-    o = load_table(spark, sf_dir, "orders")
-    did = smart_date_id(F.col("o_orderdate"))
-    return o.select(
-        "o_orderkey",
-        did.alias("date_id"),
-        F.to_timestamp(
-            F.concat(F.lpad(did.cast("string"), 8, "0"), F.lit("120000")),
-            "yyyyMMddHHmmss",
-        ).alias("reconstructed"),
-    )
-
-
+# C3 (timestamp_roundtrip) folded into relational.smart_date_keys since
+# r4 — the smart-key inverse is proven there as the `reconstructed`
+# column, freeing a driver-gate slot.
 # ---------------------------------------------------------------------------
 @query(
     "ensure_dim_domains",

@@ -216,56 +216,22 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A4/U3: multi-column unpivot + distinct (/root/reference/etl/insert/
 # dimensions/date_dimension.py:26-32 — stack().unique() over 3 date cols).
 # ---------------------------------------------------------------------------
-@query(
-    "unpivot_distinct_dates",
-    oracle="""
-    SELECT DISTINCT CAST(d AS DATE) AS day
-    FROM (
-      SELECT o_orderdate AS d FROM orders
-      UNION ALL
-      SELECT l_shipdate AS d FROM lineitem
-    )
-    """,
-)
-def unpivot_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot via two-source unionByName + distinct — feeds a
-    generated date dimension exactly like the reference's ensure-dates
-    path (union, not explode: each source keeps its own pruned scan)."""
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
-    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
-    return o.unionByName(li).select(F.col("d").cast("date").alias("day")).distinct()
-
-
 # ---------------------------------------------------------------------------
-# J12 (anti): customers that never ordered — the "rows whose probed id is
-# null" branch of the reference's ensure (bulk_inserter.py:99).
+# J12 (semi + anti), one driver row: the two halves of the reference's
+# ensure probe — rows whose probed id is null (insert half,
+# bulk_inserter.py:99) and rows that pass an allow-list probe (the
+# spatial semi of clean_data.py:63-66, relational form). Each side
+# keeps its own join strategy; the union is a tagged concatenation, so
+# both operators stay independently proven under one gate row.
 # ---------------------------------------------------------------------------
 @query(
-    "anti_join_customers",
+    "semi_anti_probe",
     oracle="""
-    SELECT c.c_custkey, c.c_mktsegment
+    SELECT 'anti' AS side, c.c_custkey AS key, c.c_mktsegment AS attr
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti join: the insert-only half of a MERGE."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-# ---------------------------------------------------------------------------
-# J1-analog (semi): the reference's spatial semi-join keeps points inside an
-# allow-listed region (clean_data.py:63-66); relational form: suppliers with
-# recent shipments.
-# ---------------------------------------------------------------------------
-@query(
-    "semi_join_suppliers",
-    oracle="""
-    SELECT s.s_suppkey, s.s_name
+    UNION ALL
+    SELECT 'semi' AS side, s.s_suppkey AS key, s.s_name AS attr
     FROM supplier s
     WHERE EXISTS (
       SELECT 1 FROM lineitem l
@@ -274,15 +240,32 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
 )
-def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi against a pushed-down-filtered probe side."""
+def semi_anti_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (insert-only half of a MERGE) unioned with left_semi
+    against a pushed-down-filtered probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("side"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("attr"),
+        )
+    )
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     )
-    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
+    semi = (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select(
+            F.lit("semi").alias("side"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("attr"),
+        )
     )
+    return anti.unionByName(semi)
 
 
 # ---------------------------------------------------------------------------
@@ -312,28 +295,64 @@ def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U1: union + distinct (/root/reference/etl/insert/dimensions/
-# date_dimension.py:48-51 — fixed ∪ easter holidays).
+# U1 + A4, one driver row: union + distinct over two key sets
+# (/root/reference/etl/insert/dimensions/date_dimension.py:48-51 —
+# fixed ∪ easter holidays) and unpivot-via-union + distinct over two
+# date columns (the ensure-dates feed, date_dimension.py:26-51). Each
+# side keeps its own pruned scans and its own hash-distinct; the tag
+# column keeps the two result sets separable under one gate row.
 # ---------------------------------------------------------------------------
 @query(
-    "union_distinct_nations",
+    "set_ops_distinct",
     oracle="""
-    SELECT DISTINCT n_nationkey AS nationkey FROM (
-      SELECT c_nationkey AS n_nationkey FROM customer
-      UNION ALL
-      SELECT s_nationkey AS n_nationkey FROM supplier
+    SELECT 'nation' AS setop, CAST(nationkey AS VARCHAR) AS val FROM (
+      SELECT DISTINCT n_nationkey AS nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS n_nationkey FROM supplier
+      )
+    )
+    UNION ALL
+    SELECT 'date' AS setop, strftime(day, '%Y-%m-%d') AS val FROM (
+      SELECT DISTINCT CAST(d AS DATE) AS day
+      FROM (
+        SELECT o_orderdate AS d FROM orders
+        UNION ALL
+        SELECT l_shipdate AS d FROM lineitem
+      )
     )
     """,
 )
-def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName + distinct."""
+def set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct, twice: nation keys from two tables, and
+    the unpivoted distinct dates (union, not explode: each source keeps
+    its own pruned scan)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.unionByName(s).distinct()
+    nations = (
+        c.unionByName(s)
+        .distinct()
+        .select(
+            F.lit("nation").alias("setop"),
+            F.col("nationkey").cast("string").alias("val"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
+    dates = (
+        o.unionByName(li)
+        .select(F.col("d").cast("date").alias("day"))
+        .distinct()
+        .select(
+            F.lit("date").alias("setop"),
+            F.date_format("day", "yyyy-MM-dd").alias("val"),
+        )
+    )
+    return nations.unionByName(dates)
 
 
 # ---------------------------------------------------------------------------
@@ -352,25 +371,32 @@ def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXTRACT(day FROM o_orderdate)::INT AS day_of_month,
       EXTRACT(quarter FROM o_orderdate)::INT AS quarter,
       EXTRACT(isodow FROM o_orderdate)::INT AS iso_dow,
-      EXTRACT(doy FROM o_orderdate)::INT AS day_of_year
+      EXTRACT(doy FROM o_orderdate)::INT AS day_of_year,
+      strptime(lpad((EXTRACT(year FROM o_orderdate)*10000
+         + EXTRACT(month FROM o_orderdate)*100
+         + EXTRACT(day FROM o_orderdate))::VARCHAR, 8, '0') || '120000',
+         '%Y%m%d%H%M%S') AS reconstructed
     FROM orders
     """,
 )
 def smart_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generated date dimension: smart surrogate key + extracted
     attributes, all JVM expressions (no stored dim table needed —
-    SURVEY.md §7.3.1)."""
+    SURVEY.md §7.3.1) — plus the C3 inverse (timestamp back from the
+    smart key via lpad+concat+to_timestamp, noon time_id fixed so the
+    roundtrip is total; 01_smart_date_time_id.sql:1-11)."""
     from etl_spark.functions.keys import smart_date_id
 
     o = load_table(spark, sf_dir, "orders")
-    # distinct FIRST: the 7 attribute expressions then run once per
-    # distinct date and the shuffle carries one date column, not a
-    # 7-column-wide hash-distinct over every orders row. (smart_date_id
+    # distinct FIRST: the 8 attribute expressions then run once per
+    # distinct date and the shuffle carries one date column, not an
+    # 8-column-wide hash-distinct over every orders row. (smart_date_id
     # maps a null date to -1; the oracle COALESCEs identically.)
     dates = o.select("o_orderdate").distinct()
     d = F.col("o_orderdate")
+    did = smart_date_id(d)
     return dates.select(
-        smart_date_id(d).alias("date_id"),
+        did.alias("date_id"),
         F.year(d).alias("year"),
         F.month(d).alias("month"),
         F.dayofmonth(d).alias("day_of_month"),
@@ -378,6 +404,10 @@ def smart_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ISO dow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
         (F.pmod(F.dayofweek(d) + 5, F.lit(7)) + 1).cast("int").alias("iso_dow"),
         F.dayofyear(d).alias("day_of_year"),
+        F.to_timestamp(
+            F.concat(F.lpad(did.cast("string"), 8, "0"), F.lit("120000")),
+            "yyyyMMddHHmmss",
+        ).alias("reconstructed"),
     )
 
 

@@ -171,6 +171,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The GUARDED k-means path (train-on-sample), driver-proven: with
+# max_training_rows=64 over the 500-vector table, kmeans_cells takes
+# the production branch — overflow probe, exact count, sample_mod =
+# ceil(500/64) = 8, Lloyd on the deterministic id-hash sample
+# pmod(xxhash64(vid), 8) == 0, full-corpus final assignment. DuckDB has
+# no xxhash64, so the SAMPLE MEMBERSHIP is pinned as literals. The pin
+# is valid because membership depends ONLY on vec_id (not embedding
+# values), and both gate scales (sf0.001 local parity, sf0.01 driver)
+# carry exactly vec_id 0..499 — verified 2026-08-18; sf0.1 has 2000 ids
+# and would need a re-pin, but only the Spark side runs there (bench).
+# Everything downstream — init, both Lloyd iterations, assignment,
+# search — is re-derived in SQL, not pinned.
+# ---------------------------------------------------------------------------
+SAMPLED_MAX_TRAIN = 64
+# pmod(xxhash64(vec_id), 8) == 0 over vec_id 0..499 (seed 42, BIGINT)
+_SAMPLED_IDS = (
+    12, 13, 30, 35, 67, 91, 100, 104, 106, 114, 119, 120, 138, 141, 142,
+    158, 165, 197, 202, 217, 219, 226, 242, 246, 251, 259, 264, 266, 270,
+    274, 275, 284, 296, 301, 304, 306, 311, 339, 343, 349, 370, 372, 375,
+    376, 380, 385, 392, 397, 401, 403, 406, 411, 416, 426, 428, 436, 445,
+    447, 448, 453, 461, 463, 482, 486,
+)
+
+
+@query(
+    "ann_ivf_sampled_topk",
+    oracle=f"""
+    WITH {_V_CTE},
+    train AS (
+      SELECT * FROM v WHERE vec_id IN {_SAMPLED_IDS}
+    ),
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, e AS ce
+      FROM (SELECT vec_id, e FROM train ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    {_assign_cte("train", "c0", "a0")},
+    {_update_cte("a0", "c1")},
+    {_assign_cte("train", "c1", "a1")},
+    {_update_cte("a1", "c2")},
+    {_assign_cte("v", "c2", "a2")},
+    scored AS (
+      SELECT q.vec_id AS query_id, q.cell, c.vec_id AS cand_id,
+             {_COS} AS cos_raw
+      FROM a2 q JOIN a2 c ON q.cell = c.cell
+       AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cell, cand_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, cell, rank, cand_id, ROUND(cos_raw, 4) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search whose coarse quantizer is trained on the ENFORCED
+    deterministic sample (the production default for unbounded corpora:
+    Lloyd state stays bounded no matter how big the input); only the
+    final stateless assignment pass sees every row. Identical search
+    plan to ann_ivf_topk — what this row proves is the guarded training
+    path itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells, _, _ = S.kmeans_cells(
+        e, "vec_id", "embedding", k=IVF_K, iters=IVF_ITERS,
+        max_training_rows=SAMPLED_MAX_TRAIN,
+    )
+    with_cells = e.join(cells, e.vec_id == cells.vid).drop("vid")
+    queries = with_cells.filter(F.col("vec_id") < N_QUERIES)
+    return S.partitioned_topk(
+        queries, with_cells, "vec_id", "embedding", "cell", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-probe IVF: same learned quantizer, but each query probes its
 # n_probes nearest cells (rank by squared-L2 to the final centroids,
 # ties to the lowest cell id) — the recall knob a real IVF user tunes.
