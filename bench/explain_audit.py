@@ -95,6 +95,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # guarded train-on-sample IVF: identical search plan to ann_ivf_topk
+    "ann_ivf_sampled_topk": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # both multimodal kernels: Arrow fan-out stages, equi-join on doc_id
+    "mm_decode_frames": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # two unions of pruned scans, each with its own hash-distinct (a
+    # keys-only HashAggregate prints no partial_* function names, so
+    # the two-phase split can't be asserted textually here)
+    "set_ops_distinct": (
+        ["Union", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # batch-bounded streaming aggregate: map-side partial before exchange
+    "windowed_domain_counts": (
+        ["HashAggregate", "partial"],
+        ["CartesianProduct"],
+    ),
 }
 
 # column-pruning check: (query, scan relation substring, pruned ReadSchema)
