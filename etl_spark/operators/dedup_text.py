@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_spark.functions.text import content_fingerprint, word_shingles
+from etl_spark.functions.text import content_fingerprint, word_shingles, words
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on the normalized-content fingerprint.
@@ -57,12 +57,67 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
-    """(id, shingle) exploded + per-doc distinct-shingle count."""
+    """(id, shingle) exploded + per-doc distinct-shingle count.
+
+    Exact-semantics form: per-doc DISTINCT shingles, dedup'd locally
+    inside the array (no shuffle), n_grams carried on every row. Use
+    for small inputs (LSH verify candidates) where the carried distinct
+    count feeds a Jaccard denominator. The array is built with
+    F.transform — a lambda higher-order function, which Catalyst
+    evaluates INTERPRETED (CodegenFallback), ~7x slower per shingle
+    than `shingle_rows` below — so the full-corpus hot paths use that
+    instead (measured 2.9s vs 0.4s over sf0.1, 2026-08-18)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), k).alias("grams"),
     )
     return sh.select("doc", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+
+
+def _split_for_cores(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster's cores when the scan
+    has fewer partitions (a small parquet file arrives as ONE split, so
+    the whole explode+digest map stage would run single-threaded —
+    maxPartitionBytes only splits large files, and AQE only coalesces,
+    never widens a map stage). At corpus scale the scan already has
+    >= cores partitions and this is a no-op — the guard matters: an
+    unconditional repartition would shuffle the full text payload."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(doc, gram) — one row per shingle POSITION (within-doc duplicates
+    possible). The full-corpus hot path: explode the integer positions
+    first, then assemble each shingle with codegen'd builtins
+    (slice + array_join per output row). Building the whole shingle
+    array per doc with F.transform — the obvious form — is interpreted
+    per element (lambda higher-order functions are CodegenFallback) and
+    measured ~7x slower at sf0.1. Consumers needing per-doc DISTINCT
+    shingles (Jaccard df/denominator semantics) add their own
+    `.distinct()` (map-side-combined); MinHash min() aggregates are
+    duplicate-insensitive and use these rows directly.
+
+    Docs with fewer than k words (or null text) contribute no rows; the
+    `when` guard matters because F.sequence(1, 0) would generate a
+    DESCENDING sequence, not an empty one."""
+    w = words(F.col(text_col))
+    n = F.size(w)
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    pos = _split_for_cores(df).select(
+        F.col(id_col).alias("doc"),
+        w.alias("_w"),
+        F.explode(positions).alias("_i"),
+    )
+    return pos.select(
+        "doc", F.array_join(F.slice("_w", F.col("_i"), k), " ").alias("gram")
+    )
 
 
 # Default stopword-shingle guard: a shingle appearing in more docs than
@@ -81,7 +136,8 @@ def dropped_shingle_stats(
     silent caps). One small aggregation job; result rows are bounded
     (2 rows) so the collect is driver-safe."""
     freq = (
-        shingle_table(df, id_col, text_col, k)
+        shingle_rows(df, id_col, text_col, k)
+        .distinct()  # df counts DOCS per gram, not positions
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -123,7 +179,13 @@ def ngram_jaccard_pairs(
     the shingle — residual skew from sub-cap popular shingles is the
     hot-key case AQE skew-join handles.
     """
-    grams = shingle_table(df, id_col, text_col, k).select("doc", "gram")
+    # position-exploded fast path + one map-side-combined distinct: the
+    # per-doc dedup the old array form did locally (interpreted, ~7x
+    # slower per shingle) becomes a hash-distinct on (doc, gram). This
+    # path shuffles the exploded table for freq/self-join anyway, so
+    # the distinct adds a combiner pass, not a new scale hazard — and
+    # this operator is the exact yardstick; minhash is the scale path.
+    grams = shingle_rows(df, id_col, text_col, k).distinct()
     if max_doc_freq is not None:
         freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         grams = grams.join(
@@ -187,8 +249,13 @@ def minhash_slice(i: int) -> tuple[int, int]:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
-    """(doc, n_grams, mh0..mh15):
+    """(doc, mh0..mh15):
     minhash_i = min(substr(md5(block_i || '|' || gram), pos_i, 8)).
+
+    Built from `shingle_rows` (position-exploded, duplicates possible):
+    min() is duplicate-insensitive, so the cheap non-distinct form gives
+    bit-identical signatures while skipping both the interpreted
+    per-doc array build and any dedup shuffle.
 
     The slices are materialized in a PROJECTION before the groupBy:
     whole-stage codegen's subexpression elimination shares each digest
@@ -196,14 +263,14 @@ def minhash_signatures(
     substr(md5(..)) directly inside the 16 min() children instead
     re-evaluates the digest per aggregate — measured ~45% slower at
     sf0.1 (aggregate child expressions don't CSE across aggregates)."""
-    grams = shingle_table(df, id_col, text_col, k)
+    grams = shingle_rows(df, id_col, text_col, k)
     slices = []
     for i in range(N_HASHES):
         block, pos = minhash_slice(i)
         digest = F.md5(F.concat(F.lit(f"{block}|"), F.col("gram")))
         slices.append(F.substring(digest, pos, 8).alias(f"s{i}"))
-    proj = grams.select("doc", "n_grams", *slices)
-    return proj.groupBy("doc", "n_grams").agg(
+    proj = grams.select("doc", *slices)
+    return proj.groupBy("doc").agg(
         *[F.min(f"s{i}").alias(f"mh{i}") for i in range(N_HASHES)]
     )
 
@@ -310,28 +377,66 @@ def _bit_of_md5(md5_col: F.Column, j: int) -> F.Column:
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, bits: array<int> of 64): bit = 1 iff Σ_tokens (±1) > 0.
+    """(doc, fp_hi, fp_lo): the 64-bit fingerprint (bit j = 1 iff
+    Σ_tokens (±1) > 0) packed as two 32-bit halves carried in BIGINTs —
+    fingerprint bit j (0 = first md5 bit) is bit (31 − j) of fp_hi for
+    j < 32, bit (63 − j) of fp_lo otherwise. Packed ints instead of an
+    array<int>(64) so every downstream step stays codegen'd: banding
+    keys come from shifts/masks and Hamming distance is
+    bit_count(XOR) — the previous zip_with/aggregate array folds are
+    interpreted lambdas (CodegenFallback) and dominated the pair stage.
 
     Computed from the exploded distinct-token table with 64 sum
-    aggregates — partial-combinable, no per-doc state."""
-    toks = df.select(
+    aggregates — partial-combinable, no per-doc state. The ±1
+    contributions are materialized in a PROJECTION before the groupBy:
+    each md5 hex digit feeds 4 bits, and whole-stage codegen CSEs the
+    digit extraction there, while aggregate children never CSE across
+    aggregates (the same trap minhash_signatures documents). The input
+    is round-robined across cores first: a small parquet scan arrives
+    as one split and would run this whole map stage single-threaded."""
+    toks = _split_for_cores(df).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
         ).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    aggs = [
-        F.sum(_bit_of_md5(F.col("h"), j) * 2 - 1).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = toks.groupBy("doc").agg(*aggs)
-    bits = F.array(
-        *[
-            F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
-        ]
+    contrib = toks.select(
+        "doc",
+        *[(_bit_of_md5(F.col("h"), j) * 2 - 1).alias(f"c{j}") for j in range(SIMHASH_BITS)],
     )
-    return sums.select("doc", bits.alias("bits"))
+    sums = contrib.groupBy("doc").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+
+    def _half(lo_bit: int) -> F.Column:
+        half = F.lit(0).cast("long")
+        for r in range(32):
+            j = lo_bit + r
+            half = half + F.when(
+                F.col(f"s{j}") > 0, F.lit(1 << (31 - r)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return half
+
+    return sums.select(
+        "doc", _half(0).alias("fp_hi"), _half(32).alias("fp_lo")
+    )
+
+
+def _chunk_sig(width: int, c: int) -> F.Column:
+    """Fingerprint bits [c·width, (c+1)·width) as a small integer, read
+    from the packed (fp_hi, fp_lo) halves with shifts and masks only —
+    all codegen'd. Handles ranges falling in either half or spanning
+    the 32-bit seam."""
+    start, end = c * width, (c + 1) * width
+    mask = (1 << width) - 1
+    if end <= 32:
+        return F.shiftright(F.col("fp_hi"), 32 - end).bitwiseAND(F.lit(mask))
+    if start >= 32:
+        return F.shiftright(F.col("fp_lo"), 64 - end).bitwiseAND(F.lit(mask))
+    n_lo = end - 32  # bits taken from the top of fp_lo
+    hi_part = F.col("fp_hi").bitwiseAND(F.lit((1 << (32 - start)) - 1))
+    lo_part = F.shiftright(F.col("fp_lo"), 32 - n_lo)
+    return F.shiftleft(hi_part, n_lo).bitwiseOR(lo_part)
 
 
 def simhash_pairs(
@@ -339,46 +444,56 @@ def simhash_pairs(
 ) -> DataFrame:
     """(a < b) pairs with Hamming(simhash) <= max_hamming, via
     (max_hamming+1)-chunk banding + exact verify — full recall by
-    pigeonhole, so identical to the quadratic all-pairs answer."""
+    pigeonhole (at most max_hamming chunks can contain a differing
+    bit), so identical to the quadratic all-pairs answer.
+
+    The banding key is an integer chunk of the packed fingerprint and
+    the verify is bit_count(XOR) over two longs per side — the shuffle
+    carries 2 longs per doc instead of a 64-element array, and no
+    interpreted array fold runs per candidate (the prior
+    zip_with/aggregate form dominated wall time on dup-heavy corpora
+    where the true pair set itself is large)."""
     fps = simhash_fingerprints(df, id_col, text_col)
     n_chunks = max_hamming + 1
-    chunk = SIMHASH_BITS // n_chunks
+    width = SIMHASH_BITS // n_chunks
     chunk_cols = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.concat_ws(
-                "",
-                *[
-                    F.col("bits")[i].cast("string")
-                    for i in range(c * chunk, min((c + 1) * chunk, SIMHASH_BITS))
-                ],
-            ).alias("sig"),
-        )
+        F.struct(F.lit(c).alias("chunk"), _chunk_sig(width, c).alias("sig"))
         for c in range(n_chunks)
     ]
-    banded = fps.select("doc", "bits", F.explode(F.array(*chunk_cols)).alias("cs")).select(
-        "doc", "bits", F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig")
+    banded = fps.select(
+        "doc", "fp_hi", "fp_lo", F.explode(F.array(*chunk_cols)).alias("cs")
+    ).select(
+        "doc", "fp_hi", "fp_lo",
+        F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig"),
     )
     # Materialize once before the self-join: the fingerprint subtree
     # (token explode + 64 sum aggregates over every token — the
     # dominant cost) would otherwise execute once per aliased join side
-    # (aliased projections defeat exchange reuse). banded is 4 rows/doc,
-    # small at any scale; eager localCheckpoint blocks are GC-reclaimed
-    # (same pattern + rationale as minhash_lsh_pairs above).
+    # (aliased projections defeat exchange reuse). banded is
+    # (max_hamming+1) rows/doc of 4 longs, small at any scale; eager
+    # localCheckpoint blocks are GC-reclaimed (same pattern + rationale
+    # as minhash_lsh_pairs above).
     banded = banded.localCheckpoint(eager=True)
-    a = banded.select(F.col("doc").alias("a_id"), F.col("bits").alias("a_bits"), "chunk", "sig")
-    b = banded.select(F.col("doc").alias("b_id"), F.col("bits").alias("b_bits"), "chunk", "sig")
+    a = banded.select(
+        F.col("doc").alias("a_id"),
+        F.col("fp_hi").alias("a_hi"), F.col("fp_lo").alias("a_lo"),
+        "chunk", "sig",
+    )
+    b = banded.select(
+        F.col("doc").alias("b_id"),
+        F.col("fp_hi").alias("b_hi"), F.col("fp_lo").alias("b_lo"),
+        "chunk", "sig",
+    )
     cands = (
         a.join(b, ["chunk", "sig"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_bits", "b_bits")
+        .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo")
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with(F.col("a_bits"), F.col("b_bits"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

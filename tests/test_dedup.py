@@ -116,6 +116,105 @@ def test_jaccard_doc_freq_cap_drops_stopword_shingles(spark):
     assert stats["cap"] == 5
 
 
+def test_shingle_rows_matches_exact_form_and_edges(spark):
+    """The codegen fast path (position explode) must emit exactly the
+    multiset of shingle POSITIONS, equal as a SET to the exact array
+    form's distinct shingles — including the edges: < k words (no rows,
+    the sequence(1, 0)-descends trap), null text (no rows), consecutive
+    spaces (empty tokens preserved, split-on-space semantics), and
+    within-doc duplicate shingles (present in rows, absent after
+    distinct)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.dedup_text import shingle_rows, shingle_table
+
+    rep = "a b c d e " * 3  # duplicate shingles within one doc
+    rows = [
+        (1, "one two three four"),          # 4 words < k -> no rows
+        (2, None),                           # null text -> no rows
+        (3, "w1 w2  w3 w4 w5 w6"),          # double space -> empty token
+        (4, rep.strip()),                    # repeated 5-gram
+        (5, "p q r s t"),                    # exactly k words -> 1 shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    fast = shingle_rows(df, "doc_id", "text", k=5)
+    exact = shingle_table(df, "doc_id", "text", k=5)
+
+    assert fast.filter(F.col("doc").isin(1, 2)).count() == 0
+    assert exact.filter(F.col("doc").isin(1, 2)).count() == 0
+
+    # doc 4: "a b c d e" * 3 -> 11 positions, far fewer distinct
+    n_pos = fast.filter(F.col("doc") == 4).count()
+    n_distinct = fast.filter(F.col("doc") == 4).distinct().count()
+    assert n_pos == 11 and n_distinct == 5
+
+    # set equality with the exact form, per doc
+    f = {(r.doc, r.gram) for r in fast.distinct().collect()}
+    e = {(r.doc, r.gram) for r in exact.select("doc", "gram").collect()}
+    assert f == e
+
+    # and the exact form's n_grams equals the fast form's distinct count
+    cnt = {
+        r.doc: r.n
+        for r in fast.distinct().groupBy("doc").agg(F.count("*").alias("n")).collect()
+    }
+    for r in exact.select("doc", "n_grams").distinct().collect():
+        assert cnt[r.doc] == r.n_grams
+
+
+def test_simhash_packed_chunks_reassemble_fingerprint(spark):
+    """The packed (fp_hi, fp_lo) halves and the banding chunk
+    extraction must agree: re-concatenating every chunk's bits at any
+    chunk width that divides 64 reproduces the full fingerprint, and
+    bit_count(xor) of a doc with itself is 0."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.dedup_text import (
+        SIMHASH_BITS,
+        _chunk_sig,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota kappa")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = simhash_fingerprints(df, "doc_id", "text")
+    got = {r.doc: (r.fp_hi, r.fp_lo) for r in fps.collect()}
+    # identical docs -> identical fingerprints; halves fit in 32 bits
+    assert got[1] == got[2]
+    for hi, lo in got.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    for width in (8, 16, 32):
+        n_chunks = SIMHASH_BITS // width
+        sel = fps.select(
+            "fp_hi", "fp_lo",
+            *[_chunk_sig(width, c).alias(f"g{c}") for c in range(n_chunks)],
+        )
+        for r in sel.collect():
+            full = 0
+            for c in range(n_chunks):
+                full = (full << width) | r[f"g{c}"]
+            assert full == (r.fp_hi << 32) | r.fp_lo, f"width={width}"
+
+    # seam-spanning extraction (width=12, chunk 2 covers bits 24..36,
+    # crossing the 32-bit hi/lo boundary) against a pure-Python model
+    sel12 = fps.select(
+        "fp_hi", "fp_lo", *[_chunk_sig(12, c).alias(f"g{c}") for c in range(5)]
+    )
+    for r in sel12.collect():
+        full64 = (r.fp_hi << 32) | r.fp_lo
+        for c in range(5):
+            want = (full64 >> (64 - (c + 1) * 12)) & ((1 << 12) - 1)
+            assert r[f"g{c}"] == want, f"chunk {c}"
+
+    pairs = {(r.a_id, r.b_id): r.hamming for r in
+             simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0  # identical docs collide in every band
+
+
 def test_jaccard_cap_defaults_on(spark):
     """The guard must be the default — None is the explicit opt-out."""
     import inspect
