@@ -4,9 +4,18 @@ label-partitioned search (the IVF-shaped scale path), and
 random-hyperplane LSH bucketing.
 
 Dot products are left-fold ``F.aggregate(zip_with(...))`` over doubles —
-JVM higher-order functions, no Python, deterministic order. The
-hyperplanes are ±1 constants derived from md5 at import time
-(deterministic, replayable, and reproducible in the SQL oracle twin).
+JVM higher-order functions, no Python, deterministic order. Lambda HOFs
+are CodegenFallback (interpreted per element), but unrolling these
+folds into 64-term ``F.get`` chains was MEASURED AND REJECTED
+(2026-08-18, interleaved A/B at sf0.1: brute-force 0.97->2.27 s, IVF
+dedup 9.8->39.3 s, bit-identical outputs): Catalyst planning + codegen
+compilation cost scales with expression-tree size, and the Lloyd loop
+plans ~10 jobs each carrying k x dim distance arrays. The compact
+interpreted fold wins here; the unroll pays off only where it replaces
+a per-element lambda with O(1)-per-row builtins (see
+operators/dedup_text.py). The hyperplanes are ±1 constants derived
+from md5 at import time (deterministic, replayable, and reproducible
+in the SQL oracle twin).
 
 Scale design: brute force is O(Q x N) — correct as the rerank stage;
 the bucketed variants cut the candidate set first (bucket equi-join =

@@ -307,6 +307,33 @@ def test_multiprobe_bounds_and_degenerate_cases(spark):
 # ---------------------------------------------------------------------------
 # kmeans_cells: the enforced train-on-sample guard
 # ---------------------------------------------------------------------------
+def test_sampled_ivf_pinned_membership_matches_xxhash64(spark):
+    """ann_ivf_sampled_topk's DuckDB oracle pins the xxhash64 sample
+    membership as literals (DuckDB has no xxhash64). Guard the pin:
+    the literal set must equal pmod(xxhash64(vec_id), 8) == 0 over
+    vec_id 0..499 — exactly the ids both gate scales (sf0.001 parity,
+    sf0.01 driver) carry — so testdata regeneration or a sampling
+    change breaks THIS test instead of silently desyncing the twins."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.queries.similarity import _SAMPLED_IDS, SAMPLED_MAX_TRAIN
+
+    mod = -(-500 // SAMPLED_MAX_TRAIN)
+    assert mod == 8
+    ids = spark.range(500).select(F.col("id").alias("vec_id"))
+    want = sorted(
+        r.vec_id
+        for r in ids.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+        ).collect()
+    )
+    assert list(_SAMPLED_IDS) == want
+    # and the gate tables really carry vec_id 0..499
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id")
+        assert sorted(r.vec_id for r in got.collect()) == list(range(500))
+
+
 def test_kmeans_sample_guard_trains_on_id_hash_sample(spark):
     """When the input exceeds max_training_rows, Lloyd must run on the
     deterministic pmod(xxhash64(id), ceil(n/max))==0 sample and ONLY the
