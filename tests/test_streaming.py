@@ -134,3 +134,57 @@ def test_stream_epochs_disjoint_from_batch_epochs(spark, change_files, tmp_path)
     assert applied == {0, 1, 2} | stream_epochs
     # and re-applying identical events is convergent (LWW ties keep state)
     assert _final_state(spark, wh) == state_batch
+
+
+def test_stateful_lww_stream_converges_to_batch_fold(spark, change_files, tmp_path):
+    """applyInPandasWithState LWW materialized view (SURVEY §2.11's
+    arbitrary-keyed-state UDF member): draining the 3-file change log as
+    3 micro-batches with per-url GroupState must converge to exactly the
+    batch lww_dedup fold — same winners, same delete flags, same carried
+    lang — and emissions must be delta-only (a key is re-emitted only
+    when a batch actually changes its winner)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.clean import clean_changes
+    from etl_spark.operators.dedup import lww_dedup
+    from etl_spark.streaming.ingest import stream_changes
+    from etl_spark.streaming.stateful import stateful_lww_updates
+
+    stream = stream_changes(spark, change_files, max_files_per_trigger=1)
+    updates = stateful_lww_updates(clean_changes(stream), value_cols=["lang"])
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("lww_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    emitted = spark.table("lww_updates")
+    # delta-only: the same winner is never emitted twice for a key
+    assert (
+        emitted.groupBy("url", "seq").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # final winner per key among emissions = the last (max (warc_ts, seq))
+    final = lww_dedup(emitted, ["url"], ["warc_ts", "seq"])
+    got = {
+        r.url: (r.warc_ts, r.seq, r.deleted, r.lang) for r in final.collect()
+    }
+
+    # the batch fold over the same cleaned log
+    batch = clean_changes(changes_from_documents(spark, SF_DIR, evolve_epoch=2))
+    want_rows = lww_dedup(
+        batch.select("url", "warc_ts", "seq", "op", "lang"),
+        ["url"],
+        ["warc_ts", "seq"],
+    ).collect()
+    want = {
+        r.url: (r.warc_ts, r.seq, r.op == "D", r.lang) for r in want_rows
+    }
+    assert got == want
+    # and fewer emissions than (keys x batches): unchanged keys stayed quiet
+    assert emitted.count() < 3 * len(want)
