@@ -67,6 +67,7 @@ def _out_schema(value_cols: list[str]) -> T.StructType:
 def stateful_lww_updates(
     changes: DataFrame,
     value_cols: list[str] = ("lang",),
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming LWW materialized view: one update row per (micro-batch,
     key-whose-winner-changed). Final winners after draining the stream
@@ -77,29 +78,66 @@ def stateful_lww_updates(
     winner (e.g. lang); the delete flag reflects the winning op, so a
     key whose winner is a delete is emitted with ``deleted=true`` (the
     tombstone-visible form — consumers drop those to get current pages).
-    """
+
+    ``state_ttl`` (e.g. ``"2 hours"``) bounds state by the stream's
+    late-event horizon — the streaming twin of the lake's
+    ``expire_tombstones`` contract: a key idle past the horizon has its
+    state dropped (event-time timeout against the REQUIRED watermark on
+    ``warc_ts``), so retained state tracks churn x horizon instead of
+    live-key count. Same assumption as tombstone GC, stated the same
+    way: events later than the horizon never arrive; if one does, it
+    re-arbitrates against an empty state and can win where the dropped
+    winner would have beaten it. Without a TTL, state is one row per
+    live key forever (exact, unbounded)."""
     value_cols = list(value_cols)
     state_schema = T.StructType(
         _STATE_FIXED + [T.StructField(c, T.StringType()) for c in value_cols]
     )
     out_schema = _out_schema(value_cols)
+    ttl_ms = None
+    if state_ttl is not None:
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*",
+            state_ttl,
+        )
+        if not m:
+            raise ValueError(f"unparseable state_ttl: {state_ttl!r}")
+        unit_ms = {
+            "millisecond": 1,
+            "second": 1000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+        }[m.group(2)]
+        ttl_ms = int(m.group(1)) * unit_ms
 
     def update_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # horizon passed with no new events: drop the winner (the
+            # GC of this operator). Nothing is emitted — downstream
+            # materializations already hold the last update.
+            state.remove()
+            return
         if state.exists:
             best: tuple[Any, ...] | None = tuple(state.get)
         else:
             best = None
         prev = best
+        max_ts_us = 0
         for pdf in pdfs:
             # exact integer µs: pandas datetime64[us/ns] -> int64
             ts_us = (pdf["warc_ts"].astype("datetime64[us]").astype("int64")).to_numpy()
             seqs = pdf["seq"].to_numpy()
             ops = pdf["op"].to_numpy()
             vals = [pdf[c].to_numpy() for c in value_cols]
+            if len(ts_us) and int(ts_us.max()) > max_ts_us:
+                max_ts_us = int(ts_us.max())
             for i in range(len(pdf)):
                 cand = (
                     int(ts_us[i]),
@@ -115,6 +153,11 @@ def stateful_lww_updates(
                     best = cand
         if best is not None and best != prev:
             state.update(best)
+        if ttl_ms is not None and best is not None and max_ts_us:
+            # horizon anchored to this key's newest EVENT time; fires
+            # once the watermark passes it (event-time timeout)
+            state.setTimeoutTimestamp(max_ts_us // 1000 + ttl_ms)
+        if best is not None and best != prev:
             yield pd.DataFrame(
                 {
                     "url": [key[0]],
@@ -127,10 +170,18 @@ def stateful_lww_updates(
                 }
             )
 
+    if state_ttl is not None:
+        # event-time timeout needs the event-time column watermarked;
+        # the watermark doubles as the late-event horizon the TTL
+        # contract is stated against
+        changes = changes.withWatermark("warc_ts", state_ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return changes.groupBy("url").applyInPandasWithState(
         update_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

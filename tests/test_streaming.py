@@ -188,3 +188,74 @@ def test_stateful_lww_stream_converges_to_batch_fold(spark, change_files, tmp_pa
     assert got == want
     # and fewer emissions than (keys x batches): unchanged keys stayed quiet
     assert emitted.count() < 3 * len(want)
+
+
+def test_stateful_lww_state_ttl_drops_idle_keys(spark, tmp_path):
+    """state_ttl bounds the stateful view's state by the late-event
+    horizon (the streaming twin of expire_tombstones): a key idle past
+    the watermark-driven TTL has its GroupState removed. Observable in
+    the state-store metrics: 3 keys ever seen, one goes idle, final
+    state rows == 2."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.clean import clean_changes
+    from etl_spark.streaming.ingest import stream_changes
+    from etl_spark.streaming.stateful import stateful_lww_updates
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (seq, 0, op, f"https://t.example/{key}", ts, b"<p>x</p>" if op != "D" else None, None)
+                for seq, op, key, ts in rows
+            ],
+            "seq long, epoch long, op string, url string, warc_ts string, html binary, lang string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    src = str(tmp_path / "wal")
+    os.makedirs(src)
+    files = [
+        batch([(1, "I", "a", "2024-01-01 10:00:00"),
+               (2, "I", "b", "2024-01-01 10:00:00")]),
+        # advances the watermark to 19:00 (ttl 1h) -> a's horizon
+        # (10:00 + 1h) is passed; its timeout fires next batch
+        batch([(3, "U", "b", "2024-01-01 20:00:00")]),
+        # fresh key above the watermark; a's state is removed this batch
+        batch([(4, "I", "c", "2024-01-01 19:30:00")]),
+    ]
+    for i, df in enumerate(files):
+        d = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        import glob as _glob
+        import shutil as _shutil
+
+        dst = os.path.join(src, f"epoch_{i}.parquet")
+        _shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        # file source lists by modification time: pin the order
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = stream_changes(spark, src, max_files_per_trigger=1)
+    q = (
+        stateful_lww_updates(
+            clean_changes(stream), value_cols=[], state_ttl="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("lww_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    emitted = spark.table("lww_ttl")
+    # every winner change was emitted: a@10, b@10, b@20, c@19:30
+    assert emitted.count() == 4
+    # the state store ends with b + c only — a was dropped by the TTL
+    progress = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    assert progress, "no state-operator progress recorded"
+    final_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_rows == 2, f"expected 2 live state rows, got {final_rows}"
