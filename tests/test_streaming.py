@@ -259,3 +259,75 @@ def test_stateful_lww_state_ttl_drops_idle_keys(spark, tmp_path):
     assert progress, "no state-operator progress recorded"
     final_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_rows == 2, f"expected 2 live state rows, got {final_rows}"
+
+
+def test_stateful_lww_state_survives_restart(spark, tmp_path):
+    """GroupState must recover from the streaming checkpoint: stop the
+    query after draining two WAL files, deliver a third whose event for
+    a known key LOSES the LWW arbitration against state written before
+    the restart — a fresh (state-less) run would wrongly emit it."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.clean import clean_changes
+    from etl_spark.streaming.ingest import stream_changes
+    from etl_spark.streaming.stateful import stateful_lww_updates
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(seq, 0, op, f"https://t.example/{k}", ts, b"<p>x</p>", None)
+             for seq, op, k, ts in rows],
+            "seq long, epoch long, op string, url string, warc_ts string, html binary, lang string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    src = str(tmp_path / "wal")
+    os.makedirs(src)
+
+    def add_file(i, df):
+        d = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, f"epoch_{i}.parquet")
+        _shutil.copy(_glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    add_file(0, batch([(1, "I", "a", "2024-01-01 10:00:00")]))
+    add_file(1, batch([(2, "U", "a", "2024-01-01 12:00:00")]))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        # foreachBatch, not the memory sink: memory-sink queries refuse
+        # checkpoint recovery ("does not support recovering..."), and
+        # recovery is the property under test
+        emitted: list[tuple] = []
+        stream = stream_changes(spark, src, max_files_per_trigger=1)
+
+        def sink(batch_df, batch_id):
+            emitted.extend((r.seq, r.warc_ts) for r in batch_df.collect())
+
+        q = (
+            stateful_lww_updates(clean_changes(stream), value_cols=[])
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+        return emitted
+
+    first = run()
+    assert {s for s, _ in first} == {1, 2}
+
+    # a LATE event for `a`, older than the pre-restart winner (12:00):
+    # with recovered state it loses arbitration and must NOT be emitted
+    add_file(2, batch([(3, "U", "a", "2024-01-01 11:00:00")]))
+    second = run()
+    assert not second, (
+        "late event won arbitration — GroupState was not recovered "
+        f"from the checkpoint (emitted {second})"
+    )
