@@ -58,8 +58,44 @@ class LineageLog:
                     etl_spark.__version__,
                     status,
                     None,
+                    None,
+                    None,
                 )
             )
+
+    def metrics(self, epoch: int, n_events: int, max_event_ts=None) -> None:
+        """Per-epoch throughput/lag row (north rule: "throughput/lag
+        metrics emitted each epoch"): events/sec over the wall-clock
+        already attributed to this epoch's stage rows, and event-time
+        lag = now − newest event time (the stream-catch-up indicator a
+        WAL tail is operated by). Appended as stage="metrics" so it
+        flushes in the same lineage commit as the stage rows."""
+        now = time.time()
+        seconds = sum(r[5] for r in self.rows if r[0] == epoch and r[5])
+        eps = (n_events / seconds) if seconds else (0.0 if not n_events else None)
+        lag = None
+        if max_event_ts is not None:
+            # the session is pinned UTC (session.py), so the collected
+            # naive datetime is UTC — interpret it explicitly rather
+            # than trusting the driver host's local timezone
+            from datetime import timezone
+
+            lag = now - max_event_ts.replace(tzinfo=timezone.utc).timestamp()
+        self.rows.append(
+            (
+                epoch,
+                -1,
+                "metrics",
+                n_events,
+                None,
+                seconds,
+                etl_spark.__version__,
+                "ok",
+                eps,
+                lag,
+                None,
+            )
+        )
 
     def flush(self, spark: SparkSession) -> None:
         if self.table is None or not self.rows:

@@ -20,6 +20,8 @@ epoch histogram so cold keys skip the extra pass.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -189,11 +191,22 @@ def adaptive_lww_dedup(
     return lww_dedup(df, key_cols, order_cols)
 
 
+class DeltaStats(NamedTuple):
+    touched: list[int]      # bucket ids containing changed keys
+    n_keys: int             # distinct keys in the delta
+    max_key_n: int          # hottest key's row count (salting trigger)
+    n_events: int           # total event rows (throughput metric input)
+    max_ts: object | None   # newest event time (lag metric input)
+
+
 def delta_stats(
-    df, key_cols: list[str], n_buckets: int
-) -> tuple[list[int], int, int]:
-    """One light pre-pass over the cleaned delta: (touched buckets,
-    distinct-key count, hottest-key row count).
+    df, key_cols: list[str], n_buckets: int, ts_col: str | None = None
+) -> DeltaStats:
+    """One light pre-pass over the cleaned delta: touched buckets,
+    distinct-key count, hottest-key row count — plus, for free on the
+    same aggregation, the event count and (when ``ts_col`` is given)
+    the newest event time, which the lineage metrics row turns into
+    events/sec and end-to-end event-time lag per epoch.
 
     Two-level aggregation — groupBy(bucket, key).count() then
     groupBy(bucket) — so the shuffle carries one long per key and the
@@ -205,20 +218,28 @@ def delta_stats(
     """
     from etl_spark.lake.table import BUCKET_COL, bucket_expr
 
+    key_aggs = [F.count(F.lit(1)).alias("_n")]
+    if ts_col is not None:
+        key_aggs.append(F.max(ts_col).alias("_max_ts"))
     per_key = (
         df.groupBy(
             bucket_expr(key_cols, n_buckets).alias(BUCKET_COL), *key_cols
-        ).agg(F.count(F.lit(1)).alias("_n"))
+        ).agg(*key_aggs)
     )
-    rows = (
-        per_key.groupBy(BUCKET_COL)
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.max("_n").alias("max_n"),
-        )
-        .collect()
-    )
+    bucket_aggs = [
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_n"),
+        F.sum("_n").alias("n_events"),
+    ]
+    if ts_col is not None:
+        bucket_aggs.append(F.max("_max_ts").alias("max_ts"))
+    rows = per_key.groupBy(BUCKET_COL).agg(*bucket_aggs).collect()
     touched = [int(r[BUCKET_COL]) for r in rows]
     n_keys = int(sum(r["n_keys"] for r in rows))
     max_n = int(max((r["max_n"] for r in rows), default=0))
-    return touched, n_keys, max_n
+    n_events = int(sum(r["n_events"] for r in rows))
+    max_ts = None
+    if ts_col is not None:
+        tss = [r["max_ts"] for r in rows if r["max_ts"] is not None]
+        max_ts = max(tss) if tss else None
+    return DeltaStats(touched, n_keys, max_n, n_events, max_ts)

@@ -144,9 +144,10 @@ def ingest_epoch(
         # the epoch payload is streamed exactly once (the merge write).
         snap = wh.pages.snapshot()
         with log.stage(epoch, "stats") as rec:
-            touched, n_keys, max_key_n = delta_stats(
-                cleaned, snap.key_cols, snap.n_buckets
+            st = delta_stats(
+                cleaned, snap.key_cols, snap.n_buckets, ts_col="warc_ts"
             )
+            touched, n_keys, max_key_n = st.touched, st.n_keys, st.max_key_n
             rec["rows_out"] = n_keys
 
         hot = max_key_n >= hot_threshold
@@ -204,6 +205,11 @@ def ingest_epoch(
                 rollup_domain_stats(
                     spark, wh.pages, wh.rollup, epoch, touched_buckets=touched
                 )
+
+        # per-epoch throughput + event-time lag, from stats already in
+        # hand (no extra pass over the delta) — flushed with the stage
+        # rows below
+        log.metrics(epoch, n_events=st.n_events, max_event_ts=st.max_ts)
     except BaseException:
         # persist the partial trail (including the failed stage's
         # status row) so an aborted epoch is visible in the audit

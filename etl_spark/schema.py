@@ -81,6 +81,12 @@ LINEAGE_SCHEMA = T.StructType(
         # a failed epoch attempt leaves an audit trail instead of
         # vanishing (the rows are flushed from ingest_epoch's finally)
         T.StructField("status", T.StringType(), True),
+        # set only on the per-epoch stage="metrics" row (north rule:
+        # "throughput/lag metrics emitted each epoch"): applied events
+        # per wall-second across the epoch's stages, and the end-to-end
+        # event-time lag (commit wall-clock minus newest event time)
+        T.StructField("events_per_sec", T.DoubleType(), True),
+        T.StructField("event_lag_seconds", T.DoubleType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
     ]
 )

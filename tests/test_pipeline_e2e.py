@@ -162,8 +162,17 @@ def test_lineage_rows_written(spark, tmp_wh):
     lin = wh.lineage.read(spark)
     stages = {r.stage for r in lin.select("stage").distinct().collect()}
     # SPJ strategy: dedup + extract run inside the grouped-map merge
-    assert {"clean", "stats", "merge", "rollup"} <= stages
+    assert {"clean", "stats", "merge", "rollup", "metrics"} <= stages
     assert lin.filter(F.col("epoch") == 0).count() >= 4
+    # the per-epoch throughput/lag row (north rule: "throughput/lag
+    # metrics emitted each epoch"): one per applied epoch, events/sec
+    # positive, lag = now − newest 2024 event time (large and positive)
+    metrics = lin.filter(F.col("stage") == "metrics").collect()
+    assert {r.epoch for r in metrics} == wh.pages.applied_epochs()
+    for r in metrics:
+        assert r.rows_in > 0  # events seen this epoch
+        assert r.events_per_sec is not None and r.events_per_sec > 0
+        assert r.event_lag_seconds is not None and r.event_lag_seconds > 0
 
 
 def test_rollup_commit_is_bucket_granular(spark, tmp_wh):
