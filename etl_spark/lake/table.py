@@ -502,6 +502,10 @@ class LakeTable:
         head = self.snapshot()
         if applied_epoch is not None and applied_epoch in head.applied_epochs:
             return head  # exactly-once: epoch already applied
+        # The spec the caller bucketed ``new_data`` against; a rebase
+        # onto a head with a DIFFERENT spec is never safe (see below).
+        base_n_buckets = head.n_buckets
+        base_key_cols = list(head.key_cols)
         version = self._claim_version()
         if new_data is not None:
             written = self._write_data(
@@ -558,22 +562,50 @@ class LakeTable:
             new_head = self.snapshot()
             if applied_epoch is not None and applied_epoch in new_head.applied_epochs:
                 return new_head  # the other writer applied this epoch
-            if not overwrite_all:
-                # Write-write conflict: the winner changed a bucket this
-                # commit is about to replace — its rows were merged
-                # against a stale current-side read, so a rebase would
-                # silently drop the winner's changes. Fail loudly.
-                clashed = [
-                    b
-                    for b in (touched_buckets or [])
-                    if new_head.files.get(str(b)) != head.files.get(str(b))
-                ]
-                if clashed:
-                    raise CommitConflictError(
-                        f"concurrent commit v{new_head.version} rewrote "
-                        f"buckets {clashed[:8]} that this commit also "
-                        "touches; re-run the merge against the new head"
-                    )
+            if overwrite_all:
+                # A full-table rewrite is derived from the pre-race
+                # snapshot; republishing it would erase whatever the
+                # winner committed in between (and adopting the winner's
+                # applied_epochs would suppress replay of the lost
+                # epoch). Never rebase — the caller re-derives from the
+                # new head (compact/rebucket are pure maintenance, so a
+                # rerun is always safe).
+                raise CommitConflictError(
+                    f"concurrent commit v{new_head.version} landed while "
+                    "this overwrite_all commit was derived from "
+                    f"v{head.version}; re-derive the rewrite from the "
+                    "new head and retry"
+                )
+            if (
+                new_head.n_buckets != base_n_buckets
+                or new_head.key_cols != base_key_cols
+            ):
+                # The winner changed the bucketing spec: this commit's
+                # data was hashed under the old (n_buckets, key_cols),
+                # so merging its files into the new layout would place
+                # rows in buckets pruned reads will never look in.
+                raise CommitConflictError(
+                    f"concurrent commit v{new_head.version} changed the "
+                    f"bucket spec ({base_n_buckets} x {base_key_cols} -> "
+                    f"{new_head.n_buckets} x {new_head.key_cols}) while "
+                    "this commit's data was bucketed under the old one; "
+                    "re-bucket the data against the new head"
+                )
+            # Write-write conflict: the winner changed a bucket this
+            # commit is about to replace — its rows were merged
+            # against a stale current-side read, so a rebase would
+            # silently drop the winner's changes. Fail loudly.
+            clashed = [
+                b
+                for b in (touched_buckets or [])
+                if new_head.files.get(str(b)) != head.files.get(str(b))
+            ]
+            if clashed:
+                raise CommitConflictError(
+                    f"concurrent commit v{new_head.version} rewrote "
+                    f"buckets {clashed[:8]} that this commit also "
+                    "touches; re-run the merge against the new head"
+                )
             head = new_head
             # fresh id so snapshot versions stay monotone with commit
             # order (the claimed data dir's files remain referenced by
@@ -594,7 +626,12 @@ class LakeTable:
         )
         written = self._write_data(with_bucket, version)
         # Appends only EXTEND file lists, so a lost commit race always
-        # rebases cleanly onto the winner's head (no overlap possible).
+        # rebases cleanly onto the winner's head (no overlap possible)
+        # — UNLESS the winner changed the bucketing spec, in which case
+        # these files were hashed under the old layout and pruned reads
+        # would look for their keys in the wrong bucket.
+        base_n_buckets = head.n_buckets
+        base_key_cols = list(head.key_cols)
         while True:
             files = dict(head.files)
             for bucket, paths in written.items():
@@ -618,6 +655,17 @@ class LakeTable:
             if self._publish(snap):
                 return snap
             head = self.snapshot()
+            if (
+                head.n_buckets != base_n_buckets
+                or head.key_cols != base_key_cols
+            ):
+                raise CommitConflictError(
+                    f"concurrent commit v{head.version} changed the "
+                    f"bucket spec ({base_n_buckets} x {base_key_cols} -> "
+                    f"{head.n_buckets} x {head.key_cols}) while this "
+                    "append's data was bucketed under the old one; "
+                    "re-append against the new head"
+                )
             version = self._claim_version()
 
     # -- schema evolution -----------------------------------------------------
@@ -638,9 +686,24 @@ class LakeTable:
         )
 
     # -- maintenance ------------------------------------------------------------
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[int]:
         """GC data directories only reachable from expired snapshots.
-        (Iceberg's expire_snapshots analog; keeps time travel shallow.)"""
+        (Iceberg's expire_snapshots analog; keeps time travel shallow.)
+
+        Also sweeps lost-race artifacts: a commit loser's first claim
+        never gets a snapshot published under its id (the loser
+        re-claims a fresh id, or returns early when the winner already
+        applied its epoch), so the claim file — and, on the
+        exactly-once-early-return path, an entire written-but-never-
+        referenced data/v<claim> directory — would otherwise leak
+        forever. A claim below HEAD with no snapshot json is such an
+        orphan; ``orphan_grace_s`` protects a still-in-flight writer
+        (its eventual snapshot may reference its claim's data dir by
+        relative path) — only claims older than the grace are swept,
+        and only files unreferenced by every surviving snapshot are
+        deleted (Iceberg's remove_orphan_files age guard)."""
         versions = self.versions()
         head = self.head_version()
         # keep_last=0 must mean "only what HEAD needs" — a bare
@@ -667,7 +730,39 @@ class LakeTable:
             if os.path.exists(claim):
                 os.remove(claim)  # id can't be reused: higher snapshots exist
             removed.append(v)
+        self._sweep_orphan_claims(head, live_files, orphan_grace_s)
         return removed
+
+    def _sweep_orphan_claims(
+        self, head: int, live_files: set[str], grace_s: float
+    ) -> None:
+        """Remove aged claims below HEAD that no snapshot was ever
+        published under, plus their data files that no surviving
+        snapshot references (see expire_snapshots docstring)."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        now = time.time()
+        for entry in os.listdir(snap_dir):
+            if not entry.endswith(".claim"):
+                continue
+            v = int(entry[1:].split(".", 1)[0])
+            claim = os.path.join(snap_dir, entry)
+            if (
+                v >= head
+                or os.path.exists(self._snap_path(v))
+                or now - os.path.getmtime(claim) < grace_s
+            ):
+                continue
+            data_dir = self._data_dir(v)
+            if os.path.isdir(data_dir):
+                for dirpath, _dirs, names in os.walk(data_dir, topdown=False):
+                    for name in names:
+                        full = os.path.join(dirpath, name)
+                        rel = os.path.relpath(full, self.root)
+                        if rel not in live_files:
+                            os.remove(full)
+                    if not os.listdir(dirpath):
+                        os.rmdir(dirpath)
+            os.remove(claim)
 
     def compact_files(
         self, spark: SparkSession, max_files: int = 64, rebucket: bool = False
@@ -694,26 +789,42 @@ class LakeTable:
         COUNT is already bounded at ``n_buckets``; what compaction
         collapses is the per-bucket file lists the append path grows
         one set per epoch."""
-        snap = self.snapshot()
-        n_files = sum(len(p) for p in snap.files.values())
-        if n_files <= max_files:
-            return snap
-        if rebucket:
-            df = self.read(spark, with_bucket=False, include_deleted=True)
-            df = df.withColumn(
-                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
-            )
-        else:
-            df = self.read(spark, with_bucket=True, include_deleted=True)
-        return self.commit(
-            df,
-            overwrite_all=True,
-            # NOT already-partitioned: the repartition(BUCKET_COL) inside
-            # _write_data is what collapses each bucket to one file.
-            # Recompute tombstone stats under the column already on
-            # record so the full rewrite doesn't reset GC pruning.
-            event_time_col=(snap.tombstone_stats or {}).get("col"),
-            summary={"operation": "compact_files", "was_files": n_files},
+        # Losing a publish race as an overwrite_all commit raises
+        # (rebasing a full rewrite would erase the winner's changes);
+        # compaction is pure maintenance, so the correct response is to
+        # re-derive the rewrite from the new head and try again.
+        for _ in range(3):
+            snap = self.snapshot()
+            n_files = sum(len(p) for p in snap.files.values())
+            if n_files <= max_files:
+                return snap
+            if rebucket:
+                df = self.read(spark, with_bucket=False, include_deleted=True)
+                df = df.withColumn(
+                    BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+                )
+            else:
+                df = self.read(spark, with_bucket=True, include_deleted=True)
+            try:
+                return self.commit(
+                    df,
+                    overwrite_all=True,
+                    # NOT already-partitioned: the repartition(BUCKET_COL)
+                    # inside _write_data is what collapses each bucket to
+                    # one file. Recompute tombstone stats under the column
+                    # already on record so the full rewrite doesn't reset
+                    # GC pruning.
+                    event_time_col=(snap.tombstone_stats or {}).get("col"),
+                    summary={
+                        "operation": "compact_files",
+                        "was_files": n_files,
+                    },
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            "compact_files lost the commit race 3 times; table is under "
+            "heavy concurrent write — re-run compaction later"
         )
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> Snapshot:
@@ -732,25 +843,35 @@ class LakeTable:
         src_bucket partials) must be refreshed afterwards — use
         pipeline.rebucket_warehouse, which does both.
         """
-        head = self.snapshot()
-        if new_n_buckets == head.n_buckets:
-            return head
         if new_n_buckets <= 0:
             raise ValueError("new_n_buckets must be positive")
-        df = self.read(spark, with_bucket=False, include_deleted=True)
-        df = df.withColumn(
-            BUCKET_COL, bucket_expr(head.key_cols, new_n_buckets)
-        )
-        return self.commit(
-            df,
-            overwrite_all=True,
-            n_buckets=new_n_buckets,
-            event_time_col=(head.tombstone_stats or {}).get("col"),
-            summary={
-                "operation": "rebucket",
-                "from": head.n_buckets,
-                "to": new_n_buckets,
-            },
+        # Same re-derive-on-lost-race loop as compact_files: the rewrite
+        # is a pure function of the head snapshot.
+        for _ in range(3):
+            head = self.snapshot()
+            if new_n_buckets == head.n_buckets:
+                return head
+            df = self.read(spark, with_bucket=False, include_deleted=True)
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(head.key_cols, new_n_buckets)
+            )
+            try:
+                return self.commit(
+                    df,
+                    overwrite_all=True,
+                    n_buckets=new_n_buckets,
+                    event_time_col=(head.tombstone_stats or {}).get("col"),
+                    summary={
+                        "operation": "rebucket",
+                        "from": head.n_buckets,
+                        "to": new_n_buckets,
+                    },
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            "rebucket lost the commit race 3 times; table is under heavy "
+            "concurrent write — re-run later"
         )
 
     def expire_tombstones(

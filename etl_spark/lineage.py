@@ -71,8 +71,15 @@ class LineageLog:
         WAL tail is operated by). Appended as stage="metrics" so it
         flushes in the same lineage commit as the stage rows."""
         now = time.time()
-        seconds = sum(r[5] for r in self.rows if r[0] == epoch and r[5])
-        eps = (n_events / seconds) if seconds else (0.0 if not n_events else None)
+        # Exclude prior stage='metrics' rows: their seconds field holds
+        # the previous SUM, so including them would double-count when
+        # metrics() is called twice for one epoch (e.g. a retried
+        # flush). Zero attributed seconds (all-lazy stages) reports
+        # events_per_sec=0.0 — "no measured throughput", never inf/null.
+        seconds = sum(
+            r[5] for r in self.rows if r[0] == epoch and r[2] != "metrics" and r[5]
+        )
+        eps = (n_events / seconds) if seconds else 0.0
         lag = None
         if max_event_ts is not None:
             # the session is pinned UTC (session.py), so the collected
