@@ -40,6 +40,12 @@ Scale design (100 TB, 1000 executors)
   listing of the whole table, no partition discovery job.
 * Manifests are O(n_buckets x files-per-bucket) JSON — thousands of
   entries, driver-side trivial (same shape as an Iceberg manifest list).
+* Files are clustered on the event-time column at write
+  (sortWithinPartitions) and the manifest records per-file [min, max]
+  event-time bounds, so a time-range read prunes to a slice of each
+  bucket instead of scanning it whole — the successor of the
+  reference's SP-GiST/stbox window indexes
+  (/root/reference/etl/init/sql/31_fact_cell.sql:35).
 * Commits are optimistic-concurrency guarded (the Iceberg commit
   protocol shape): version ids are claimed atomically (O_EXCL claim
   marker, never reused), the HEAD swap runs under a short O_EXCL lock
@@ -56,6 +62,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -109,6 +116,17 @@ class Snapshot:
     # expire_tombstones prune its discovery scan to buckets whose
     # min is past the horizon instead of reading the whole table.
     tombstone_stats: dict = field(default_factory=dict)
+    # Per-file event-time bounds (Iceberg per-file column metrics
+    # analog, the successor of the reference's SP-GiST/stbox indexes,
+    # /root/reference/etl/init/sql/31_fact_cell.sql:35):
+    # {"col": <event-time col>, "files": {rel_path: [min-iso-or-null,
+    # max-iso-or-null]}}. Written files are clustered on the event-time
+    # column (sortWithinPartitions at commit), so the bounds are tight;
+    # ``read(time_range=...)`` skips files whose bounds fall outside
+    # the window. [null, null] = the file holds ONLY null-event-time
+    # rows (prunable by ANY range predicate, which excludes nulls); a
+    # file with no entry is UNKNOWN and always read.
+    file_stats: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -127,6 +145,7 @@ class Snapshot:
                 "summary": self.summary,
                 "committed_at": self.committed_at,
                 "tombstone_stats": self.tombstone_stats,
+                "file_stats": self.file_stats,
             },
             indent=1,
         )
@@ -293,55 +312,85 @@ class LakeTable:
         finally:
             os.unlink(path)
 
-    def _scan_tombstone_stats(
+    def _scan_write_stats(
         self,
         spark: SparkSession,
-        rel_paths: list[str],
+        written: dict[str, list[str]],
         event_time_col: str,
         schema: T.StructType,
-    ) -> dict[str, list] | None:
-        """Per-bucket [tombstone count, min event time] over a set of
-        just-written files — the write-time stats collection that lets
-        expire_tombstones prune. Column-pruned to 3 columns and sized
-        by the epoch's write, not the table; driver result is bounded
-        by n_buckets. Returns None when the table shape can't carry
-        stats (no tombstone column, or a non-temporal event column)."""
+    ) -> tuple[dict[str, list] | None, dict[str, list] | None]:
+        """ONE column-pruned scan over the just-written files producing
+        both manifest stat families:
+
+        * per-bucket ``[tombstone count, min tombstone event time]``
+          (lets expire_tombstones prune its discovery scan) — None when
+          the table carries no tombstone column;
+        * per-file ``[min event time, max event time]`` (lets
+          ``read(time_range=...)`` skip files) — None when the event
+          column is missing or non-temporal.
+
+        Sized by the epoch's write, not the table; the driver result is
+        bounded by the number of files written (per-file grouping via
+        ``input_file_name()``, mapped back to manifest-relative paths
+        driver-side)."""
+        rel_paths = [p for plist in written.values() for p in plist]
         et_field = next(
             (f for f in schema.fields if f.name == event_time_col), None
         )
         if (
             et_field is None
             or not isinstance(et_field.dataType, (T.TimestampType, T.DateType))
-            or not any(f.name == DELETED_COL for f in schema.fields)
             or not rel_paths
         ):
-            return None
-        read_schema = T.StructType(
-            [
-                T.StructField(BUCKET_COL, T.IntegerType(), False),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-                T.StructField(event_time_col, et_field.dataType, True),
-            ]
-        )
-        df = spark.read.schema(read_schema).parquet(
+            return None, None
+        has_tomb = any(f.name == DELETED_COL for f in schema.fields)
+        fields = [T.StructField(event_time_col, et_field.dataType, True)]
+        if has_tomb:
+            fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        df = spark.read.schema(T.StructType(fields)).parquet(
             *[os.path.join(self.root, p) for p in rel_paths]
         )
-        dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        dead = (
+            F.coalesce(F.col(DELETED_COL), F.lit(False))
+            if has_tomb
+            else F.lit(False)
+        )
         rows = (
-            df.groupBy(BUCKET_COL)
+            df.groupBy(F.input_file_name().alias("f"))
             .agg(
-                F.sum(dead.cast("long")).alias("n"),
-                F.min(F.when(dead, F.col(event_time_col))).alias("mn"),
+                F.min(event_time_col).alias("mn"),
+                F.max(event_time_col).alias("mx"),
+                F.sum(dead.cast("long")).alias("n_dead"),
+                F.min(F.when(dead, F.col(event_time_col))).alias("dead_mn"),
             )
             .collect()
         )
-        return {
-            str(r[BUCKET_COL]): [
-                int(r["n"] or 0),
+        by_rel = {}
+        for r in rows:
+            path = urllib.parse.unquote(urllib.parse.urlparse(r["f"]).path)
+            by_rel[os.path.relpath(path, self.root)] = r
+        file_stats = {
+            rel: [
                 r["mn"].isoformat() if r["mn"] is not None else None,
+                r["mx"].isoformat() if r["mx"] is not None else None,
             ]
-            for r in rows
+            for rel, r in by_rel.items()
         }
+        if not has_tomb:
+            return None, file_stats
+        bucket_stats: dict[str, list] = {}
+        for bucket, paths in written.items():
+            n, mn = 0, None
+            for p in paths:
+                r = by_rel.get(p)
+                if r is None:
+                    continue
+                n += int(r["n_dead"] or 0)
+                dm = r["dead_mn"]
+                if dm is not None and (mn is None or dm < mn):
+                    mn = dm
+            bucket_stats[bucket] = [n, mn.isoformat() if mn is not None else None]
+        return bucket_stats, file_stats
 
     @staticmethod
     def _merge_tombstone_stats(
@@ -374,6 +423,36 @@ class LakeTable:
                 buckets.pop(b, None)
         return {"col": col, "buckets": buckets}
 
+    @staticmethod
+    def _merge_file_stats(
+        head: Snapshot,
+        files: dict[str, list[str]],
+        written_file_stats: dict[str, list] | None,
+        event_time_col: str | None,
+    ) -> dict:
+        """Next snapshot's per-file event-time bounds: carry forward
+        entries whose files survive, overlay the just-written files'
+        fresh bounds, drop entries for removed files. Entries recorded
+        under a DIFFERENT event column don't carry (bounds of another
+        column are meaningless for pruning this one)."""
+        head_stats = head.file_stats or {}
+        col = event_time_col or head_stats.get("col")
+        if not col:
+            return {}
+        live = {p for plist in files.values() for p in plist}
+        out: dict[str, list] = {}
+        if head_stats.get("col") == col:
+            out = {
+                p: st
+                for p, st in head_stats.get("files", {}).items()
+                if p in live
+            }
+        if written_file_stats:
+            out.update(
+                {p: st for p, st in written_file_stats.items() if p in live}
+            )
+        return {"col": col, "files": out}
+
     def _publish(self, snap: Snapshot) -> bool:
         """Attempt the atomic publish: holds the commit lock, verifies
         HEAD still equals ``snap.parent``, then writes the manifest and
@@ -394,6 +473,7 @@ class LakeTable:
         version: int | None = None,
         with_bucket: bool = False,
         include_deleted: bool = False,
+        time_range: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read; optional bucket pruning via explicit file list.
 
@@ -406,6 +486,17 @@ class LakeTable:
         read and maintenance need the markers to arbitrate/GC). The
         filter is a pure Catalyst predicate, so it pushes into the
         parquet scan.
+
+        ``time_range=(lo, hi)`` (datetimes or ISO strings, either side
+        None for open-ended) additionally skips files whose manifest
+        event-time bounds fall outside [lo, hi] — the manifest-level
+        twin of parquet row-group min/max pruning, and the successor of
+        the reference's stbox/SP-GiST window indexes (cell_query.sql's
+        bread-and-butter read). Pruning only SKIPS whole files: the
+        caller still applies the actual ``event_time_col BETWEEN``
+        predicate (which a range semantically implies — a range
+        predicate excludes null event times, matching the pruning of
+        all-null files).
         """
         snap = self.snapshot(version)
         schema = snap.schema
@@ -416,6 +507,8 @@ class LakeTable:
             paths = [p for plist in snap.files.values() for p in plist]
         else:
             paths = [p for b in buckets for p in snap.files.get(str(b), [])]
+        if time_range is not None:
+            paths = self._prune_paths_by_time(snap, paths, time_range)
         if not paths:
             df = spark.createDataFrame([], read_schema)
         else:
@@ -433,12 +526,65 @@ class LakeTable:
             df = df.drop(BUCKET_COL)
         return df
 
+    @staticmethod
+    def _prune_paths_by_time(
+        snap: Snapshot, paths: list[str], time_range: tuple
+    ) -> list[str]:
+        """Drop files whose recorded [min, max] event-time bounds prove
+        no row can satisfy ``lo <= t <= hi``. Files with no recorded
+        bounds are kept (unknown is never pruned); [null, null] files
+        hold only null event times and are pruned (a range predicate
+        excludes nulls)."""
+        import datetime as dt
+
+        stats = snap.file_stats or {}
+        entries = stats.get("files")
+        if not entries:
+            return paths
+
+        def _parse(x):
+            if x is None or isinstance(x, dt.datetime):
+                return x
+            return dt.datetime.fromisoformat(str(x))
+
+        try:
+            lo, hi = (_parse(x) for x in time_range)
+        except (TypeError, ValueError):
+            return paths  # unusable range: correctness over pruning
+        if (lo is not None and lo.tzinfo is not None) or (
+            hi is not None and hi.tzinfo is not None
+        ):
+            # recorded bounds are session-naive; don't guess a tz mapping
+            return paths
+        out = []
+        for p in paths:
+            ent = entries.get(p)
+            if ent is None:
+                out.append(p)  # unknown bounds: must read
+                continue
+            mn, mx = ent
+            if mn is None and mx is None:
+                continue  # only null event times: no range can match
+            mn = dt.datetime.fromisoformat(mn) if mn is not None else None
+            mx = dt.datetime.fromisoformat(mx) if mx is not None else None
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            out.append(p)
+        return out
+
     def row_count(self, spark: SparkSession) -> int:
         return self.read(spark).count()
 
     # -- write --------------------------------------------------------------
     def _write_data(
-        self, df: DataFrame, version: int, already_partitioned: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        already_partitioned: bool = False,
+        sort_col: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry BUCKET_COL) under data/v<version>,
         one directory per bucket; returns bucket -> relative file paths.
@@ -451,16 +597,28 @@ class LakeTable:
         ``already_partitioned``: the producer guarantees each bucket's
         rows live in one task partition (e.g. the grouped-map SPJ
         merge) — skip the extra shuffle.
+
+        ``sort_col``: cluster each bucket's rows on this column before
+        writing (``sortWithinPartitions`` — per-task sort, no shuffle;
+        SURVEY §4.2 item 4's "(domain, warc_ts) clustering"). Paired
+        with ``max_records_per_file`` (Iceberg's target-file-size
+        analog) a big bucket splits into consecutive event-time chunks,
+        so the manifest's per-file bounds prune time-range reads to a
+        slice of the bucket — and row groups inside each file carry
+        tight parquet min/max for predicate pushdown either way.
         """
         out_dir = self._data_dir(version)
         with_dir = df.withColumn(_PARTITION_DIR_COL, F.col(BUCKET_COL))
         if not already_partitioned:
             with_dir = with_dir.repartition(F.col(BUCKET_COL))
-        (
-            with_dir.write.mode("overwrite")
-            .partitionBy(_PARTITION_DIR_COL)
-            .parquet(out_dir)
-        )
+        if sort_col is not None and sort_col in df.columns:
+            with_dir = with_dir.sortWithinPartitions(
+                _PARTITION_DIR_COL, sort_col
+            )
+        writer = with_dir.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(_PARTITION_DIR_COL).parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith(f"{_PARTITION_DIR_COL}="):
@@ -486,6 +644,7 @@ class LakeTable:
         already_bucket_partitioned: bool = False,
         n_buckets: int | None = None,
         event_time_col: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> Snapshot:
         """Write ``new_data`` (with BUCKET_COL) and commit a snapshot.
 
@@ -493,11 +652,16 @@ class LakeTable:
         data; untouched buckets carry forward (bucket-granular
         copy-on-write). ``overwrite_all`` replaces every bucket.
         Metadata-only commits (schema evolution) pass ``new_data=None``.
-        ``event_time_col``: when given (and the table carries the
-        tombstone column), per-bucket tombstone stats over the written
-        files are recorded in the manifest so expire_tombstones can
-        prune its discovery scan; without it the written buckets'
-        tombstone state is marked unknown.
+        ``event_time_col``: when given, written files are CLUSTERED on
+        that column (per-bucket sortWithinPartitions) and the manifest
+        records their per-file [min, max] bounds — what makes
+        ``read(time_range=...)`` prune — plus, if the table carries the
+        tombstone column, per-bucket tombstone stats so
+        expire_tombstones can prune its discovery scan; without it the
+        written files carry no bounds and the written buckets'
+        tombstone state is marked unknown. ``max_records_per_file``
+        splits a big bucket into several time-consecutive files
+        (tighter pruning; Iceberg's target-file-size knob).
         """
         head = self.snapshot()
         if applied_epoch is not None and applied_epoch in head.applied_epochs:
@@ -509,15 +673,19 @@ class LakeTable:
         version = self._claim_version()
         if new_data is not None:
             written = self._write_data(
-                new_data, version, already_partitioned=already_bucket_partitioned
+                new_data,
+                version,
+                already_partitioned=already_bucket_partitioned,
+                sort_col=event_time_col,
+                max_records_per_file=max_records_per_file,
             )
         else:
             written = {}
-        written_stats = None
+        written_stats, written_file_stats = None, None
         if new_data is not None and event_time_col is not None and written:
-            written_stats = self._scan_tombstone_stats(
+            written_stats, written_file_stats = self._scan_write_stats(
                 new_data.sparkSession,
-                [p for plist in written.values() for p in plist],
+                written,
                 event_time_col,
                 schema or head.schema,
             )
@@ -554,6 +722,9 @@ class LakeTable:
                     overwrite_all,
                     written_stats,
                     event_time_col,
+                ),
+                file_stats=self._merge_file_stats(
+                    head, files, written_file_stats, event_time_col
                 ),
             )
             if self._publish(snap):
@@ -612,19 +783,38 @@ class LakeTable:
             # their recorded relative paths)
             version = self._claim_version()
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        event_time_col: str | None = None,
+        max_records_per_file: int | None = None,
+    ) -> Snapshot:
         """Append-only commit (the lineage/audit path): rows hash into
         the table's fixed ``n_buckets`` and the new files EXTEND each
         bucket's file list — nothing existing is rewritten. Bucket
         count stays bounded; what grows per append is files-per-bucket,
         which is why append-mode tables need periodic
-        ``compact_files``."""
+        ``compact_files``. ``event_time_col``: cluster the appended
+        files on that column and record their per-file [min, max]
+        bounds (``read(time_range=...)`` then skips whole appends
+        outside the window — the append-table pruning story)."""
         head = self.snapshot()
         version = self._claim_version()
         with_bucket = df.withColumn(
             BUCKET_COL, bucket_expr(head.key_cols, head.n_buckets)
         )
-        written = self._write_data(with_bucket, version)
+        written = self._write_data(
+            with_bucket,
+            version,
+            sort_col=event_time_col,
+            max_records_per_file=max_records_per_file,
+        )
+        written_file_stats = None
+        if event_time_col is not None and written:
+            _, written_file_stats = self._scan_write_stats(
+                df.sparkSession, written, event_time_col, head.schema
+            )
         # Appends only EXTEND file lists, so a lost commit race always
         # rebases cleanly onto the winner's head (no overlap possible)
         # — UNLESS the winner changed the bucketing spec, in which case
@@ -650,6 +840,9 @@ class LakeTable:
                 # appended buckets' tombstone state becomes unknown
                 tombstone_stats=self._merge_tombstone_stats(
                     head, written, None, False, None, None
+                ),
+                file_stats=self._merge_file_stats(
+                    head, files, written_file_stats, event_time_col
                 ),
             )
             if self._publish(snap):
@@ -814,7 +1007,8 @@ class LakeTable:
                     # one file. Recompute tombstone stats under the column
                     # already on record so the full rewrite doesn't reset
                     # GC pruning.
-                    event_time_col=(snap.tombstone_stats or {}).get("col"),
+                    event_time_col=(snap.tombstone_stats or {}).get("col")
+                    or (snap.file_stats or {}).get("col"),
                     summary={
                         "operation": "compact_files",
                         "was_files": n_files,
@@ -860,7 +1054,8 @@ class LakeTable:
                     df,
                     overwrite_all=True,
                     n_buckets=new_n_buckets,
-                    event_time_col=(head.tombstone_stats or {}).get("col"),
+                    event_time_col=(head.tombstone_stats or {}).get("col")
+                    or (head.file_stats or {}).get("col"),
                     summary={
                         "operation": "rebucket",
                         "from": head.n_buckets,
