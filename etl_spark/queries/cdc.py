@@ -266,6 +266,35 @@ def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_time_range_scan",
+    oracle=f"""
+    WITH {_CHANGELOG_CTE}, {_FINAL_STATE_CTE}
+    SELECT url, warc_ts, text FROM final_pages
+    WHERE warc_ts BETWEEN TIMESTAMP '2024-01-01 06:00:00'
+                      AND TIMESTAMP '2024-01-01 18:00:00'
+    """,
+)
+def cdc_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bread-and-butter read (time-window scan,
+    /root/reference/benchmarks/queries/cell/cell_query.sql:11-14)
+    against the lake table's manifest-pruned path: ``read(time_range=)``
+    skips files whose per-file [min, max] event-time bounds (recorded
+    at commit next to the sortWithinPartitions clustering) fall outside
+    the window, then the same BETWEEN predicate filters rows. Matching
+    the full-ingest oracle fold proves pruning never drops a row
+    (tests/test_file_pruning.py proves it actually skips files)."""
+    import datetime as dt
+
+    wh = _ingest_all(spark, sf_dir)
+    lo = dt.datetime(2024, 1, 1, 6, 0, 0)
+    hi = dt.datetime(2024, 1, 1, 18, 0, 0)
+    pages = wh.pages.read(spark, time_range=(lo, hi))
+    return pages.filter(F.col("warc_ts").between(lo, hi)).select(
+        "url", "warc_ts", "text"
+    )
+
+
+@query(
     "cdc_rollup_domain",
     oracle=f"""
     WITH {_CHANGELOG_CTE}, {_FINAL_STATE_CTE}
@@ -293,24 +322,45 @@ def cdc_rollup_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # The streaming watermarked aggregate, driver-proven via bounded batch
-# execution: F.window + approx_count_distinct is the exact expression
-# tree streaming/ingest.windowed_domain_counts attaches behind the
-# watermark (withWatermark is a no-op on a bounded input, so the plan
-# below IS the streaming plan minus state bookkeeping). approx_urls is
-# an HLL sketch — deterministic per engine but not reproducible in
-# DuckDB — so this row is registered rows-only; the exact-count twin of
-# the same grouping is already hash-proven by cdc_rollup_domain.
+# execution: F.window(warc_ts, '1 hour') is the exact expression tree
+# streaming/ingest.windowed_domain_counts attaches behind the watermark
+# (withWatermark is a no-op on a bounded input, so the plan below IS
+# the streaming plan minus state bookkeeping). The oracle re-derives
+# the tumbling-window boundaries as epoch-microsecond integer division
+# (Spark aligns 1h windows to the epoch origin) and the distinct-url
+# count runs EXACT on both sides (exact_distinct=True here; the
+# unbounded streaming form keeps the HLL sketch for bounded state —
+# count_distinct is not legal in a streaming aggregation anyway).
 # ---------------------------------------------------------------------------
-@query("windowed_domain_counts", oracle=None)
+@query(
+    "windowed_domain_counts",
+    oracle=f"""
+    WITH {_CHANGELOG_CTE},
+    {_CLEANED_CTE.strip().rstrip()}
+    SELECT
+      make_timestamp((epoch_us(warc_ts) // 3600000000) * 3600000000)
+        AS window_start,
+      make_timestamp(((epoch_us(warc_ts) // 3600000000) + 1) * 3600000000)
+        AS window_end,
+      regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT url) AS n_urls
+    FROM cleaned
+    GROUP BY window_start, window_end, domain
+    """,
+)
 def windowed_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(domain, 1h event-time window) stream rollup — count +
-    approx-distinct urls — executed in batch over the full bounded
-    change log (SURVEY §2.10; the streaming twin runs the identical
-    function inside the micro-batch driver with a 2h watermark)."""
+    distinct urls — executed in batch over the full bounded change log
+    (SURVEY §2.10; the streaming twin runs the identical function
+    inside the micro-batch driver with a 2h watermark and the
+    approx-distinct sketch)."""
     from etl_spark.operators.clean import clean_changes
     from etl_spark.streaming.ingest import windowed_domain_counts as wdc
 
     log = changes_from_documents(spark, sf_dir, evolve_epoch=EVOLVE_EPOCH)
-    out = wdc(clean_changes(log))
+    out = wdc(clean_changes(log), exact_distinct=True)
     # deterministic presentation order is the caller's job in batch
-    return out.orderBy("window_start", "domain")
+    return out.orderBy("window_start", "domain").withColumnRenamed(
+        "approx_urls", "n_urls"
+    )

@@ -119,6 +119,10 @@ def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(cust_total) AS DOUBLE) AS max_customer_total
     FROM per_cust GROUP BY order_month
     """,
+    # out of the driver's 50-row window: subsumed by rollup_cascade
+    # (same partial->final split, chained over four levels); still
+    # oracle-checked by the local parity suite and timed by bench.py
+    driver=False,
 )
 def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy(fine) then groupBy(coarse): the second shuffle is over
@@ -137,6 +141,104 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_customers"),
         F.sum("n_orders").alias("n_orders"),
         F.max("cust_total").alias("max_customer_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 (full hierarchy): the reference materializes its rollup at FOUR
+# cell sizes, each level's parent key an integer division of the finer
+# key (5000->1000->200->50, /root/reference/etl/rollup/
+# apply_rollups.py:129-135; parent keys 01_count.sql:50-52). Here the
+# hierarchy is temporal — minute -> hour -> day -> week — and each
+# level is computed FROM THE PREVIOUS LEVEL's already-reduced rows, so
+# re-aggregation cost shrinks geometrically instead of re-scanning the
+# base table per level (what the reference pays by recomputing every
+# cell size from staging).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_cascade",
+    oracle="""
+    WITH lvl_minute AS (
+      SELECT epoch_us(ts) // 60000000 AS bucket_id,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,4))) AS sum_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY bucket_id
+    ), lvl_hour AS (
+      SELECT bucket_id // 60 AS bucket_id,
+             SUM(n_events)::BIGINT AS n_events,
+             SUM(sum_value) AS sum_value,
+             MAX(max_value) AS max_value
+      FROM lvl_minute GROUP BY 1
+    ), lvl_day AS (
+      SELECT bucket_id // 24 AS bucket_id,
+             SUM(n_events)::BIGINT AS n_events,
+             SUM(sum_value) AS sum_value,
+             MAX(max_value) AS max_value
+      FROM lvl_hour GROUP BY 1
+    ), lvl_week AS (
+      SELECT bucket_id // 7 AS bucket_id,
+             SUM(n_events)::BIGINT AS n_events,
+             SUM(sum_value) AS sum_value,
+             MAX(max_value) AS max_value
+      FROM lvl_day GROUP BY 1
+    )
+    SELECT 'minute' AS level, bucket_id, n_events,
+           CAST(sum_value AS DOUBLE) AS sum_value, max_value FROM lvl_minute
+    UNION ALL
+    SELECT 'hour', bucket_id, n_events,
+           CAST(sum_value AS DOUBLE), max_value FROM lvl_hour
+    UNION ALL
+    SELECT 'day', bucket_id, n_events,
+           CAST(sum_value AS DOUBLE), max_value FROM lvl_day
+    UNION ALL
+    SELECT 'week', bucket_id, n_events,
+           CAST(sum_value AS DOUBLE), max_value FROM lvl_week
+    """,
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-level chained materialization. Sums ride DECIMAL through
+    every level (exact, order-independent) and surface as DOUBLE once;
+    bucket keys are integer `div` — double division could mis-bucket at
+    exact boundaries. At warehouse scale each level is an idempotent
+    MERGE target (the rollup.py bucket-partial pattern); here the
+    cascade itself is the unit under test."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.expr("unix_micros(ts) div 60000000").alias("bucket_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+    def _up(df: DataFrame, k: int) -> DataFrame:
+        return df.groupBy(
+            F.expr(f"bucket_id div {k}").alias("bucket_id")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    hour = _up(minute, 60)
+    day = _up(hour, 24)
+    week = _up(day, 7)
+
+    def _out(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            "bucket_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "max_value",
+        )
+
+    return (
+        _out(minute, "minute")
+        .unionByName(_out(hour, "hour"))
+        .unionByName(_out(day, "day"))
+        .unionByName(_out(week, "week"))
     )
 
 
@@ -279,6 +381,10 @@ def semi_anti_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            (r.r_regionkey * 5 + r2.r_regionkey) AS direction_id
     FROM region r CROSS JOIN region r2
     """,
+    # out of the driver's 50-row window (slot ceded to the round-5
+    # chained-outlier / cascade / pruned-scan rows): init-time-only
+    # operator, still oracle-checked by the local parity suite
+    driver=False,
 )
 def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Init-time-only cross product of a tiny dim with a computed

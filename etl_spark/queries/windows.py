@@ -76,6 +76,139 @@ def lag_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# W2 (full sequential half): the reference's outlier loop chains against
+# the previous NON-outlier row and rewrites SOG in place when the
+# computed speed disagrees (/root/reference/etl/trajectory/
+# builder.py:460-524) — a sequentially dependent state machine a pure
+# lag() cannot express (dropping row i changes row i+1's comparison
+# baseline). Re-expressed as a grouped-map applyInPandas kernel: one
+# shuffle on the key, a tight per-group loop over numpy arrays (the
+# reference's own shape, minus the per-ship process pool). The oracle
+# is a DuckDB RECURSIVE walk advancing every key one row per step —
+# O(total rows) work, rows-per-key iterations.
+# ---------------------------------------------------------------------------
+CHAIN_RATE_THRESHOLD = 0.02  # |Δvalue|/Δt above this ⇒ outlier (analog
+# of the reference's speed threshold; sized so the sf events stream
+# actually produces chains — p90 of observed rates is ~0.011)
+REWRITE_DISAGREE = 0.5  # |computed − reported| above this ⇒ rewrite
+
+
+def _chained_outlier_kernel(pdf):
+    """Per-key sequential walk: prev = last NON-outlier row; same-ts or
+    rate > threshold ⇒ outlier (dropped from the chain); kept rows emit
+    a 'speed' that is the computed rate when it disagrees with the
+    reported value by > REWRITE_DISAGREE (the SOG-rewrite analog,
+    builder.py:520-522), else the reported value. The speed checksum is
+    an integer millis sum — floor(x*1000+0.5) is the same IEEE ops in
+    Spark, DuckDB, and numpy, so no float-order drift."""
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+    val = pdf["value"].to_numpy()
+    n_out = n_rw = 0
+    n_kept = 1
+    milli = int(math.floor(val[0] * 1000 + 0.5))
+    prev_ts, prev_v = ts_us[0], val[0]
+    for i in range(1, len(val)):
+        dt_us = int(ts_us[i] - prev_ts)
+        if dt_us == 0:
+            n_out += 1
+            continue
+        rate = abs(val[i] - prev_v) / (dt_us / 1000000.0)
+        if rate > CHAIN_RATE_THRESHOLD:
+            n_out += 1
+            continue
+        n_kept += 1
+        if abs(rate - val[i]) > REWRITE_DISAGREE:
+            n_rw += 1
+            milli += int(math.floor(rate * 1000 + 0.5))
+        else:
+            milli += int(math.floor(val[i] * 1000 + 0.5))
+        prev_ts, prev_v = ts_us[i], val[i]
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_kept": [n_kept],
+            "n_outliers": [n_out],
+            "n_rewrites": [n_rw],
+            "speed_milli": [milli],
+        }
+    )
+
+
+@query(
+    "chained_outlier_rewrite",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, 1::BIGINT AS rn, n, ts AS prev_ts, value AS prev_value,
+             0::BIGINT AS n_outliers, 1::BIGINT AS n_kept,
+             0::BIGINT AS n_rewrites,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS speed_milli
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n,
+             CASE WHEN x.is_out THEN w.prev_ts ELSE o.ts END,
+             CASE WHEN x.is_out THEN w.prev_value ELSE o.value END,
+             w.n_outliers + CASE WHEN x.is_out THEN 1 ELSE 0 END,
+             w.n_kept + CASE WHEN x.is_out THEN 0 ELSE 1 END,
+             w.n_rewrites + CASE WHEN NOT x.is_out
+                  AND ABS(x.rate - o.value) > {REWRITE_DISAGREE}
+                  THEN 1 ELSE 0 END,
+             w.speed_milli + CASE WHEN x.is_out THEN 0
+                  WHEN ABS(x.rate - o.value) > {REWRITE_DISAGREE}
+                  THEN CAST(FLOOR(x.rate * 1000 + 0.5) AS BIGINT)
+                  ELSE CAST(FLOOR(o.value * 1000 + 0.5) AS BIGINT) END
+      FROM walk w
+      JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1,
+      LATERAL (SELECT
+          ABS(o.value - w.prev_value)
+            / (NULLIF(epoch_us(o.ts) - epoch_us(w.prev_ts), 0) / 1000000.0)
+            AS rate,
+          (epoch_us(o.ts) - epoch_us(w.prev_ts) = 0
+           OR ABS(o.value - w.prev_value)
+              / (NULLIF(epoch_us(o.ts) - epoch_us(w.prev_ts), 0) / 1000000.0)
+              > {CHAIN_RATE_THRESHOLD}) AS is_out
+      ) x
+    )
+    SELECT user_id, n_kept, n_outliers, n_rewrites, speed_milli
+    FROM walk WHERE rn = n
+    """,
+)
+def chained_outlier_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's sequentially dependent half as a grouped-map kernel; the
+    lag-only sibling (lag_outlier_detect) covers the vectorizable part.
+    Scale shape: ONE shuffle on user_id, Arrow batches per group, no
+    driver-side state — identical to every other grouped-map operator
+    in the engine (merge_spj's kernel carries the same contract)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("n_kept", T.LongType(), True),
+            T.StructField("n_outliers", T.LongType(), True),
+            T.StructField("n_rewrites", T.LongType(), True),
+            T.StructField("speed_milli", T.LongType(), True),
+        ]
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _chained_outlier_kernel, out_schema
+    )
+
+
 def sessionized(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """W3 as a reusable operator: lag -> gap flag -> running sum =
     session id (classic sessionization; the reference's gap-split loop,

@@ -107,12 +107,23 @@ def windowed_domain_counts(
     changes: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Watermarked streaming aggregate: events per (domain, window).
 
     The derived-rollup form for unbounded streams — the watermark bounds
     state (late events beyond it are dropped FROM THE AGGREGATE only;
-    the LWW merge path still applies them to the lake table)."""
+    the LWW merge path still applies them to the lake table).
+
+    ``exact_distinct``: the streaming form uses approx_count_distinct
+    (an HLL sketch — bounded state per group, and COUNT(DISTINCT) is
+    not supported inside a streaming aggregation); bounded/batch
+    executions of the same plan can pass True to get the exact count —
+    the form the DuckDB oracle twin pins hash-exactly."""
+    distinct_urls = (
+        F.count_distinct("url") if exact_distinct
+        else F.approx_count_distinct("url")
+    )
     return (
         changes.withWatermark("warc_ts", watermark)
         .groupBy(
@@ -123,7 +134,7 @@ def windowed_domain_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("url").alias("approx_urls"),
+            distinct_urls.alias("approx_urls"),
         )
         .select(
             F.col("w.start").alias("window_start"),
