@@ -3,19 +3,27 @@
 label-partitioned search (the IVF-shaped scale path), and
 random-hyperplane LSH bucketing.
 
-Dot products are left-fold ``F.aggregate(zip_with(...))`` over doubles —
-JVM higher-order functions, no Python, deterministic order. Lambda HOFs
-are CodegenFallback (interpreted per element), but unrolling these
-folds into 64-term ``F.get`` chains was MEASURED AND REJECTED
-(2026-08-18, interleaved A/B at sf0.1: brute-force 0.97->2.27 s, IVF
-dedup 9.8->39.3 s, bit-identical outputs): Catalyst planning + codegen
-compilation cost scales with expression-tree size, and the Lloyd loop
-plans ~10 jobs each carrying k x dim distance arrays. The compact
-interpreted fold wins here; the unroll pays off only where it replaces
-a per-element lambda with O(1)-per-row builtins (see
-operators/dedup_text.py). The hyperplanes are ±1 constants derived
-from md5 at import time (deterministic, replayable, and reproducible
-in the SQL oracle twin).
+The vector math has two interchangeable physical kernels (see
+``VECTOR_KERNEL``): the compact JVM left-fold
+``F.aggregate(zip_with(...))`` over doubles, and an Arrow-batched
+numpy pandas_udf performing the SAME per-dimension IEEE operation
+sequence (bit-identical outputs, pinned by
+tests/test_vector_kernel_parity.py). Three options were measured
+same-session interleaved at sf0.1:
+
+* unrolling the fold into 64-term ``F.get`` chains — REJECTED
+  (brute-force 0.97->2.27 s, IVF dedup 9.8->39.3 s): Catalyst planning
+  + codegen compile cost scales with expression-tree size and repeats
+  per Lloyd job;
+* interpreted fold (CodegenFallback, per-element lambda) — the old
+  default;
+* numpy pandas_udf — WINNER (brute-force 0.583->0.518 s, IVF dedup
+  6.40->3.27 s, IVF top-k 2.42->1.44 s medians): one vectorized op per
+  dimension per Arrow batch amortizes the Python boundary, and the
+  Lloyd/assign path drops the k x dim literal arrays from every plan.
+
+The hyperplanes are ±1 constants derived from md5 at import time
+(deterministic, replayable, and reproducible in the SQL oracle twin).
 
 Scale design: brute force is O(Q x N) — correct as the rerank stage;
 the bucketed variants cut the candidate set first (bucket equi-join =
@@ -27,12 +35,30 @@ query side broadcasts.
 from __future__ import annotations
 
 import hashlib
+import os
+
+# module-level so pandas_udf type-hint strings (PEP 563 in this
+# module) resolve 'pd.Series' against the function globals
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
 N_PLANES = 16
+
+# Which physical kernel computes the vector math: "fold" = the compact
+# JVM higher-order-function fold (interpreted per element,
+# CodegenFallback), "numpy" = an Arrow-batched pandas_udf doing the
+# SAME left fold vectorized across the batch (one numpy op per
+# dimension — bit-identical IEEE operation order, so the two kernels
+# are interchangeable under the hash-exact oracles; pinned by
+# tests/test_vector_kernel_parity.py). Both were A/B-measured
+# same-session at sf0.1 (bench/BASELINE.md round 5): numpy wins ~2x on
+# the Lloyd/assign path and holds even on join-heavy rerank paths, so
+# it is the default; the env override exists for measurement and for
+# Arrow-less fallback.
+VECTOR_KERNEL = os.environ.get("ETL_SPARK_VECTOR_KERNEL", "numpy")
 
 
 def _as_double(col: F.Column) -> F.Column:
@@ -52,6 +78,48 @@ def norm(a: F.Column) -> F.Column:
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _cosine_np_udf():
+    """Arrow-batched cosine: the numpy twin of :func:`cosine`. The
+    accumulation loops over DIMENSIONS (64 vectorized ops per batch),
+    acc = acc + a_i*b_i in index order — the exact IEEE operation
+    sequence of the JVM fold, so results are bit-identical and the
+    SQL-oracle hash checks hold under either kernel. Null/ragged
+    vectors yield NaN (the fold's null behaves the same under every
+    downstream >=/top-k use: both fail the predicate)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        res = pd.Series(np.nan, index=a.index, dtype="float64")
+        mask = a.notna() & b.notna()
+        if not mask.any():
+            return res
+        A = np.stack(a[mask].to_list())
+        B = np.stack(b[mask].to_list())
+        d = A.shape[1]
+        dot_ = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(d):
+            dot_ = dot_ + A[:, i] * B[:, i]
+            na = na + A[:, i] * A[:, i]
+            nb = nb + B[:, i] * B[:, i]
+        res[mask] = dot_ / (np.sqrt(na) * np.sqrt(nb))
+        return res
+
+    return _cos
+
+
+def cosine_cols(a: F.Column, b: F.Column) -> F.Column:
+    """Kernel dispatch for the hot cosine paths (module flag read at
+    plan-build time so an A/B run can flip it mid-session)."""
+    if VECTOR_KERNEL == "numpy":
+        return _cosine_np_udf()(a, b)
+    return cosine(a, b)
 
 
 def cosine_pairs(
@@ -74,7 +142,7 @@ def cosine_pairs(
         joined = a.join(b, F.col("a_blk") == F.col("b_blk"))
     else:
         joined = a.crossJoin(b)
-    cos = cosine(F.col("a_v"), F.col("b_v"))
+    cos = cosine_cols(F.col("a_v"), F.col("b_v"))
     return (
         joined.filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cos_raw", cos)
@@ -106,7 +174,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("cand_id")
     )
-    cos = cosine(F.col("qv"), F.col("cv"))
+    cos = cosine_cols(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id").asc()
     )
@@ -148,7 +216,7 @@ def partitioned_topk(
     scored = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("cand_id")
     )
-    cos = cosine(F.col("qv"), F.col("cv"))
+    cos = cosine_cols(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id").asc()
     )
@@ -217,7 +285,7 @@ def multiprobe_topk(
         F.col("cos_raw").desc(), F.col("cand_id").asc()
     )
     return (
-        scored.withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        scored.withColumn("cos_raw", cosine_cols(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -227,6 +295,73 @@ def multiprobe_topk(
             F.round(F.col("cos_raw"), 4).alias("cosine"),
         )
     )
+
+
+def _sq_dists_np(E, centroids):
+    """(n, k) squared-L2 distances with the SAME left-fold operation
+    order as :func:`_sq_dist_to_literal` — diff, square, accumulate per
+    dimension index — so cell assignments and probe rankings are
+    bit-identical between kernels."""
+    import numpy as np
+
+    n, d = E.shape
+    dists = np.empty((n, len(centroids)))
+    for j, c in enumerate(centroids):
+        acc = np.zeros(n)
+        for i in range(d):
+            diff = E[:, i] - c[i]
+            acc = acc + diff * diff
+        dists[:, j] = acc
+    return dists
+
+
+def _assign_np_udf(centroids: list[list[float]], cell_ids: list[int]):
+    """numpy twin of the assign expression: argmin over the distance
+    fold, first-minimum (= lowest cell id among the listed order, which
+    is ascending) tiebreak — matching array_position(array_min)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [list(c) for c in centroids]
+    ids = list(map(int, cell_ids))
+
+    @pandas_udf("int")
+    def _assign(e: pd.Series) -> pd.Series:
+        E = np.stack(e.to_list())
+        idx = np.argmin(_sq_dists_np(E, cents), axis=1)
+        return pd.Series(np.asarray(ids, dtype="int64")[idx]).astype("int32")
+
+    return _assign
+
+
+def _probe_np_udf(
+    centroids: list[list[float]], cell_ids: list[int], n_probes: int
+):
+    """numpy twin of :func:`_probe_cells`: per row, cells sorted by
+    (distance, cell id) — np.lexsort is exactly array_sort's
+    struct(d, cell) order — truncated to n_probes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [list(c) for c in centroids]
+    ids_arr = list(map(int, cell_ids))
+
+    @pandas_udf("array<int>")
+    def _probe(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        E = np.stack(e.to_list())
+        dists = _sq_dists_np(E, cents)
+        ids = np.asarray(ids_arr, dtype="int64")
+        out = []
+        for r in range(len(E)):
+            order = np.lexsort((ids, dists[r]))
+            out.append([int(ids[i]) for i in order[:n_probes]])
+        return pd.Series(out)
+
+    return _probe
 
 
 def _sq_dist_to_literal(vec: F.Column, centroid: list[float]) -> F.Column:
@@ -251,6 +386,8 @@ def _probe_cells(
     (squared-L2 fold in index order, ties to the lowest cell id) shared
     by multiprobe search and IVF dedup; a tweak here diverges both
     against their oracles together, never one silently."""
+    if VECTOR_KERNEL == "numpy":
+        return _probe_np_udf(centroids, cell_ids, n_probes)(vec)
     probe_structs = F.array(
         *[
             F.struct(
@@ -332,6 +469,11 @@ def kmeans_cells(
     ]
 
     def assign(frame: DataFrame) -> DataFrame:
+        if VECTOR_KERNEL == "numpy":
+            kernel = _assign_np_udf(
+                [c for _, c in centroids], [cid for cid, _ in centroids]
+            )
+            return frame.withColumn("cell", kernel(F.col("e")))
         dists = F.array(
             *[_sq_dist_to_literal(F.col("e"), c) for _, c in centroids]
         )
@@ -425,7 +567,7 @@ def ivf_dedup_pairs(
     return (
         pairs.join(va, "a_id")
         .join(vb, "b_id")
-        .withColumn("cos_raw", cosine(F.col("a_v"), F.col("b_v")))
+        .withColumn("cos_raw", cosine_cols(F.col("a_v"), F.col("b_v")))
         .filter(F.col("cos_raw") >= threshold)
         .select(
             "a_id", "b_id", F.round(F.col("cos_raw"), 4).alias("cosine")
@@ -480,7 +622,7 @@ def lsh_bucket_topk(
     scored = c.join(F.broadcast(q), "sig").filter(
         F.col("query_id") != F.col("cand_id")
     )
-    cos = cosine(F.col("qv"), F.col("cv"))
+    cos = cosine_cols(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id").asc()
     )
