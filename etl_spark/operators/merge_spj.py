@@ -14,8 +14,11 @@ Inside the grouped-map kernel (one call per bucket, Arrow-batched):
      functions/extract.extract_text_series — byte-identity preserved);
   3. executor-local pyarrow read of the bucket's CURRENT parquet files
      (the manifest's file list rides the closure) — a hand-rolled
-     storage-partitioned join: current rows never cross the network,
-     exactly what Iceberg SPJ gives co-bucketed tables;
+     storage-partitioned join: current rows never cross a shuffle,
+     exactly what Iceberg SPJ gives co-bucketed tables. The read goes
+     through a pyarrow FileSystem seam (:func:`_resolve_filesystem`):
+     a POSIX root reads locally, a ``s3://``/``hdfs://`` root reads
+     via the store's client — no kernel change to leave shared disk;
   4. row arbitration identical to the JVM merge: delta wins iff no
      current row or delta.warc_ts >= current.warc_ts; 'D' winners drop
      the key; untouched current rows carry through (the whole bucket is
@@ -34,7 +37,6 @@ target scale (thousands of buckets at 100 TB).
 
 from __future__ import annotations
 
-import os
 from typing import Iterable
 
 import pandas as pd
@@ -105,6 +107,22 @@ def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
     return pdf
 
 
+def _resolve_filesystem(root: str):
+    """Filesystem seam for the kernel's executor-local current-side
+    read. A POSIX root uses pyarrow's LocalFileSystem (the sandbox /
+    shared-NFS case); a URI root (``s3://…``, ``hdfs://…``,
+    ``file://…``) resolves through ``FileSystem.from_uri`` — pointing
+    the warehouse at an object store changes the root string, not the
+    kernel (the Iceberg-SPJ analog: data files are fetched by path via
+    the store's client, never through the driver)."""
+    from pyarrow import fs as pafs
+
+    if "://" in root:
+        filesystem, base = pafs.FileSystem.from_uri(root)
+        return filesystem, base
+    return pafs.LocalFileSystem(), root
+
+
 def make_bucket_merger(
     root: str,
     files_by_bucket,
@@ -171,18 +189,22 @@ def make_bucket_merger(
             if c not in winners.columns:
                 winners[c] = None
 
-        # 3. executor-local read of the bucket's current rows.
+        # 3. executor-local read of the bucket's current rows (through
+        # the filesystem seam: POSIX root or object-store URI).
         paths = files_map.get(str(bucket), [])
         if paths:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            filesystem, base = _resolve_filesystem(root)
             # use_threads=False everywhere: parallelism comes from Spark
             # tasks; Arrow's default per-call thread pool (cpu_count
             # threads in EVERY worker process) oversubscribes the box
             # by n_workers x n_cpus and serializes the stage.
             tables = [
-                pq.read_table(os.path.join(root, p), use_threads=False)
+                pq.read_table(
+                    f"{base}/{p}", filesystem=filesystem, use_threads=False
+                )
                 for p in paths
             ]
             # int64 -> nullable Int64 at the Arrow boundary: the default

@@ -253,7 +253,11 @@ def sessionized(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize then aggregate per session; sessions with <= 2 points
     dropped (the reference's POINTS_FOR_TRAJECTORY_THRESHOLD). The
-    streaming twin is session_window(ts, '15 minutes')."""
+    streaming twin is streaming/ingest.sessionized_domain_counts
+    (session_window) — note Spark's session_window splits at Δt > gap
+    while this operator follows the reference's Δt >= gap; on
+    whole-second data pass gap-1s to the streaming form (convergence
+    pinned by tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     sess = sessionized(ev)
     return (

@@ -103,6 +103,44 @@ def stream_ingest(
     return writer.start()
 
 
+def sessionized_domain_counts(
+    changes: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time SESSION windows per domain — the streaming twin of
+    the batch sessionization operator (queries/windows.sessionized,
+    the reference's 900 s trajectory gap-split re-expressed).
+
+    Boundary rule (measured, pinned by tests/test_streaming.py::
+    test_session_window_converges_to_batch_gap_split): Spark's
+    ``session_window`` treats the gap as a CLOSED extension — an event
+    landing exactly ``gap`` after the previous one still merges; the
+    split fires at Δt > gap. The batch operator follows the reference's
+    rule and splits at Δt >= gap. On whole-second event times the two
+    coincide when the streaming gap is set to ``batch_gap - 1s``;
+    ``session_end == last event + gap`` in both.
+
+    Scale shape: session state is per (domain, open session) and the
+    watermark closes sessions whose end precedes it — state is bounded
+    by active domains x gap, not history (the same bound the TTL gives
+    the stateful LWW view)."""
+    return (
+        changes.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.session_window("warc_ts", gap).alias("w"),
+            domain_of(F.col("url")).alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "domain",
+            "n_events",
+        )
+    )
+
+
 def windowed_domain_counts(
     changes: DataFrame,
     window: str = "1 hour",

@@ -202,3 +202,72 @@ def test_as_exact_int64_object_dtype_no_float_detour():
     assert _as_exact_int64(out).iloc[1] == big + 1
     exact = pd.Series([big, big + 1], dtype="int64")
     assert list(_as_exact_int64(exact)) == [big, big + 1]
+
+
+def test_kernel_reads_current_side_through_fs_seam(spark, tmp_path):
+    """The executor-local current-side read goes through the pyarrow
+    FileSystem seam: a file:// URI root (stand-in for any object-store
+    URI) must produce the same merge output as the plain POSIX root."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_spark.operators.merge_spj import (
+        _resolve_filesystem,
+        make_bucket_merger,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    # current-side file on disk
+    cur = pd.DataFrame(
+        {
+            "url": ["https://x.example/a"],
+            "warc_ts": [pd.Timestamp("2024-01-01")],
+            "note": ["old"],
+            "_bucket": [0],
+        }
+    )
+    (tmp_path / "data").mkdir()
+    cur_path = tmp_path / "data" / "cur.parquet"
+    cur.to_parquet(cur_path)
+
+    delta = pd.DataFrame(
+        {
+            "url": ["https://x.example/b"],
+            "warc_ts": [pd.Timestamp("2024-01-02")],
+            "note": ["new"],
+            "_bucket": [0],
+        }
+    )
+    outs = {}
+    for label, root in (
+        ("posix", str(tmp_path)),
+        ("uri", "file://" + str(tmp_path)),
+    ):
+        kernel = make_bucket_merger(
+            root,
+            {"0": ["data/cur.parquet"]},
+            schema,
+            ["url"],
+            ["warc_ts"],
+            extracted=True,
+        )
+        out = kernel(delta.copy())
+        outs[label] = sorted(
+            zip(out["url"], out["note"], out["_bucket"])
+        )
+    assert outs["posix"] == outs["uri"]
+    assert len(outs["uri"]) == 2  # current row carried + delta applied
+
+    # seam resolution itself
+    fs_posix, base_posix = _resolve_filesystem(str(tmp_path))
+    fs_uri, base_uri = _resolve_filesystem("file://" + str(tmp_path))
+    assert base_posix == str(tmp_path)
+    assert base_uri == str(tmp_path)
+    assert type(fs_posix).__name__ == "LocalFileSystem"
+    assert type(fs_uri).__name__ == "LocalFileSystem"

@@ -331,3 +331,88 @@ def test_stateful_lww_state_survives_restart(spark, tmp_path):
         "late event won arbitration — GroupState was not recovered "
         f"from the checkpoint (emitted {second})"
     )
+
+
+def test_session_window_converges_to_batch_gap_split(spark, change_files, tmp_path):
+    """The streaming session_window twin of the batch gap-split
+    sessionizer (windows.sessionized promises it): draining the change
+    log as micro-batches must produce exactly the sessions the
+    lag->flag->running-sum batch operator derives — same (domain,
+    start, end, count), with session_end = last event + gap on both
+    sides. Change-log timestamps are whole minutes, so the batch
+    operator's floored-seconds gap equals the exact-timestamp gap
+    session_window uses.
+
+    Boundary semantics (this test MEASURED it): session_window merges
+    an event arriving exactly ``gap`` after the previous one (split at
+    Δt > gap); the engine's batch operator follows the reference and
+    splits at Δt >= gap — so the batch twin here uses the > rule, and
+    the operator docstrings document the gap-1s mapping."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.clean import clean_changes, domain_of
+    from etl_spark.streaming.ingest import (
+        sessionized_domain_counts,
+        stream_changes,
+    )
+
+    # 9 min: the sparse domains emit every 10 min, so their gaps SPLIT
+    # (600 > 540) while the dense domain's 1-min cadence merges — both
+    # behaviors exercised
+    gap_s = 540
+    stream = stream_changes(spark, change_files, max_files_per_trigger=1)
+    # watermark wider than the log's full event-time span: the change
+    # log arrives in EPOCH order (later epochs carry earlier event
+    # times), and the default 2 h watermark would drop those from the
+    # aggregate — late-drop semantics are windowed_domain_counts'
+    # contract; THIS test pins gap-split equivalence, so nothing may
+    # be late.
+    sess = sessionized_domain_counts(
+        clean_changes(stream), gap=f"{gap_s} seconds", watermark="2 days"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("domain_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    got = {
+        (r.domain, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("domain_sessions").collect()
+    }
+
+    # batch twin: the engine's lag -> gap-flag -> running-sum operator
+    batch = clean_changes(
+        changes_from_documents(spark, SF_DIR, evolve_epoch=2)
+    ).select(domain_of(F.col("url")).alias("domain"), "warc_ts", "seq")
+    w = Window.partitionBy("domain").orderBy("warc_ts", "seq")
+    gap = F.unix_timestamp("warc_ts") - F.unix_timestamp(
+        F.lag("warc_ts").over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sessions = (
+        batch.withColumn(
+            "session_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("domain", "session_id")
+        .agg(
+            F.min("warc_ts").alias("session_start"),
+            (F.max("warc_ts") + F.expr(f"INTERVAL {gap_s} SECONDS")).alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r.domain, r.session_start, r.session_end, r.n_events)
+        for r in sessions.collect()
+    }
+    assert got == want
+    # multiple sessions per domain actually occurred (the split fired)
+    assert len(want) > spark.table("domain_sessions").select("domain").distinct().count()
