@@ -299,3 +299,93 @@ def argmin_map_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("West")
     )
     return o.select("o_orderkey", nearest.alias("nearest"))
+
+
+# ---------------------------------------------------------------------------
+# Role-playing date dimension (/root/reference/etl/init/sql/
+# 10_dim_date.sql:26-49: dim_date re-exposed as per-role views): ONE
+# generated date dimension joined twice under two roles — the order
+# date (orders) and the ship date (lineitem) — with role-prefixed
+# attribute names. Broadcast x2: the dim is ~2.5k rows, each role join
+# is a map-side hash join, no shuffle of the fact. Kept out of the
+# 50-row driver window (driver=False); the local parity suite
+# oracle-checks it.
+# ---------------------------------------------------------------------------
+@query(
+    "date_dim_roleplay",
+    oracle="""
+    WITH dim_date AS (
+      SELECT d AS date_day,
+             (EXTRACT(year FROM d) * 10000 + EXTRACT(month FROM d) * 100
+                + EXTRACT(day FROM d))::INT AS date_id,
+             EXTRACT(year FROM d)::INT AS year,
+             EXTRACT(quarter FROM d)::INT AS quarter
+      FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                          DATE '1998-12-31',
+                                          INTERVAL 1 DAY))::DATE AS d)
+    )
+    SELECT o_role.year AS order_year, o_role.quarter AS order_quarter,
+           COUNT(*) AS n_items,
+           COUNT(CASE WHEN s_role.year > o_role.year THEN 1 END)
+             AS n_shipped_next_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN dim_date o_role ON o_role.date_day = o_orderdate
+    JOIN dim_date s_role ON s_role.date_day = l_shipdate
+    GROUP BY order_year, order_quarter
+    """,
+    driver=False,
+)
+def date_dim_roleplay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One dim, two roles: the same generated date dimension joined
+    under order/ship aliases (the reference's role-playing CREATE VIEW
+    pattern as column-renamed broadcast joins)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    days = spark.range(0, 2557).select(  # 1992-01-01 .. 1998-12-31
+        F.date_add(F.lit("1992-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("date_day")
+    )
+    dim = days.select(
+        "date_day",
+        (
+            F.year("date_day") * 10000
+            + F.month("date_day") * 100
+            + F.dayofmonth("date_day")
+        ).cast("int").alias("date_id"),
+        F.year("date_day").cast("int").alias("year"),
+        F.quarter("date_day").cast("int").alias("quarter"),
+    )
+
+    def role(prefix: str) -> DataFrame:
+        # the role-playing "view": same dim, role-prefixed columns
+        return dim.select(
+            *[F.col(c).alias(f"{prefix}_{c}") for c in dim.columns]
+        )
+
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(role("order")),
+            F.col("o_orderdate") == F.col("order_date_day"),
+        )
+        .join(
+            F.broadcast(role("ship")),
+            F.col("l_shipdate") == F.col("ship_date_day"),
+        )
+    )
+    return joined.groupBy(
+        F.col("order_year"), F.col("order_quarter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count(
+            F.when(F.col("ship_year") > F.col("order_year"), 1)
+        ).alias("n_shipped_next_year"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
