@@ -59,9 +59,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
-    # brute-force ANN is an intended broadcast nested loop (tiny query side)
+    # brute-force ANN is an intended broadcast nested loop (tiny query
+    # side); ArrowEvalPython = the vectorized numpy cosine kernel
     "ann_bruteforce_topk": (
-        ["BroadcastNestedLoopJoin"],
+        ["BroadcastNestedLoopJoin", "ArrowEvalPython"],
         [],
     ),
     "ann_ivf_topk": (
@@ -116,6 +117,25 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "windowed_domain_counts": (
         ["HashAggregate", "partial"],
         ["CartesianProduct"],
+    ),
+    # W2's sequential half: ONE shuffle on the key into the grouped-map
+    # kernel, never a window sort or a cartesian
+    "chained_outlier_rewrite": (
+        ["FlatMapGroupsInPandas", "hashpartitioning(user_id"],
+        ["Window", "CartesianProduct"],
+    ),
+    # 4-level cascade: hash aggregates with map-side partials; each
+    # level re-aggregates the previous level (no re-scan fan-out would
+    # show as 4 separate file scans of events — allowed but the plan
+    # must stay cartesian-free and partial-aggregated)
+    "rollup_cascade": (
+        ["HashAggregate", "partial"],
+        ["CartesianProduct"],
+    ),
+    # role-playing dim: both role joins must broadcast
+    "date_dim_roleplay": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
 }
 
