@@ -115,13 +115,17 @@ def _garbage_queries(spark, sf_dir: str, rng: random.Random, rounds: int = 3):
 
 
 def _time_query_cold(fn, spark, sf_dir, iters: int, rng: random.Random):
-    """Cold medians: page-cache drop + garbage rounds BEFORE each timed
-    run (plans/codegen stay warm — that is Spark's steady state on a
-    long-lived driver; what goes cold is the data path)."""
+    """Cold medians: garbage rounds FIRST (pollute JVM/exec caches with
+    someone else's working set), THEN the page-cache drop, then the
+    timed run — in that order, because the garbage queries scan the
+    same parquet files the timed query reads; dropping the cache first
+    would let them re-warm exactly the pages under measurement. What
+    stays warm is plans/codegen — Spark's steady state on a long-lived
+    driver; what goes cold is the data path."""
     times, dropped = [], True
     for _ in range(iters):
-        dropped = _drop_os_cache() and dropped
         _garbage_queries(spark, sf_dir, rng)
+        dropped = _drop_os_cache() and dropped
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         times.append(time.perf_counter() - t0)

@@ -381,10 +381,16 @@ class LakeTable:
         bucket_stats: dict[str, list] = {}
         for bucket, paths in written.items():
             n, mn = 0, None
+            # A path the URI->relpath mapping failed to recover (e.g. a
+            # root reached through a symlink) must leave this bucket
+            # UNKNOWN — recording [0, None] would claim "known clean"
+            # and permanently exclude the bucket from tombstone-GC
+            # discovery. (Empty data files never exist: partitionBy
+            # writes no file for an empty partition.)
+            if any(p not in by_rel for p in paths):
+                continue
             for p in paths:
-                r = by_rel.get(p)
-                if r is None:
-                    continue
+                r = by_rel[p]
                 n += int(r["n_dead"] or 0)
                 dm = r["dead_mn"]
                 if dm is not None and (mn is None or dm < mn):

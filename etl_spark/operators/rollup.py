@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark.functions.keys import smart_date_id
-from etl_spark.lake.table import BUCKET_COL, LakeTable
+from etl_spark.lake.table import BUCKET_COL, CommitConflictError, LakeTable
 from etl_spark.operators.clean import domain_of
 
 # Manifest-layout stamp carried in every rollup commit summary: the
@@ -114,15 +114,25 @@ def rollup_domain_stats(
     stamped = head.summary.get("layout") == stamp
     has_data = any(head.files.values())
     if touched_buckets is None or (has_data and not stamped):
-        # full refresh (still pure + idempotent)
-        fresh = compute_partials(pages.read(spark, with_bucket=True))
-        rollup.commit(
-            fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
-            overwrite_all=True,
-            applied_epoch=epoch,
-            summary=summary,
+        # Full refresh (still pure + idempotent). overwrite_all raises
+        # on a lost publish race instead of rebasing; the refresh is a
+        # pure function of the pages snapshot, so re-derive and retry
+        # (same loop as LakeTable.compact_files).
+        for _ in range(3):
+            fresh = compute_partials(pages.read(spark, with_bucket=True))
+            try:
+                rollup.commit(
+                    fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+                    overwrite_all=True,
+                    applied_epoch=epoch,
+                    summary=summary,
+                )
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            "rollup full refresh lost the commit race 3 times; re-run"
         )
-        return
     if not touched_buckets:
         rollup.commit(None, applied_epoch=epoch, summary=summary)
         return

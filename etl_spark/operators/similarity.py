@@ -85,38 +85,55 @@ def _cosine_np_udf():
     accumulation loops over DIMENSIONS (64 vectorized ops per batch),
     acc = acc + a_i*b_i in index order — the exact IEEE operation
     sequence of the JVM fold, so results are bit-identical and the
-    SQL-oracle hash checks hold under either kernel. Null/ragged
-    vectors yield NaN (the fold's null behaves the same under every
-    downstream >=/top-k use: both fail the predicate)."""
+    SQL-oracle hash checks hold under either kernel.
+
+    Null semantics match the fold exactly: a null vector on either
+    side yields NULL (which sorts LAST under the descending top-k
+    windows — a NaN here would sort FIRST and poison every top-k), and
+    a length-mismatched pair yields NULL too (the fold's
+    ``zip_with`` pads the short side with nulls, nulling the sum).
+    Rows are batched per vector length so ragged inputs never crash
+    ``np.stack``. Zero-length/zero-norm vectors are out of contract
+    (both kernels produce a 0/0)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        res = pd.Series(np.nan, index=a.index, dtype="float64")
-        mask = a.notna() & b.notna()
-        if not mask.any():
-            return res
-        A = np.stack(a[mask].to_list())
-        B = np.stack(b[mask].to_list())
-        d = A.shape[1]
-        dot_ = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for i in range(d):
-            dot_ = dot_ + A[:, i] * B[:, i]
-            na = na + A[:, i] * A[:, i]
-            nb = nb + B[:, i] * B[:, i]
-        res[mask] = dot_ / (np.sqrt(na) * np.sqrt(nb))
-        return res
+        out = np.full(len(a), None, dtype=object)
+        mask = (a.notna() & b.notna()).to_numpy()
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            av = a.to_numpy()[idx]
+            bv = b.to_numpy()[idx]
+            la = np.array([len(x) for x in av])
+            lb = np.array([len(x) for x in bv])
+            for d in np.unique(la[la == lb]):
+                if d == 0:
+                    continue
+                sel = (la == d) & (lb == d)
+                A = np.stack(av[sel])
+                B = np.stack(bv[sel])
+                dot_ = np.zeros(len(A))
+                na = np.zeros(len(A))
+                nb = np.zeros(len(A))
+                for i in range(d):
+                    dot_ = dot_ + A[:, i] * B[:, i]
+                    na = na + A[:, i] * A[:, i]
+                    nb = nb + B[:, i] * B[:, i]
+                vals = dot_ / (np.sqrt(na) * np.sqrt(nb))
+                out[idx[sel]] = vals  # object dtype: NaN stays NaN
+        return pd.Series(out, index=a.index, dtype=object)
 
     return _cos
 
 
 def cosine_cols(a: F.Column, b: F.Column) -> F.Column:
-    """Kernel dispatch for the hot cosine paths (module flag read at
-    plan-build time so an A/B run can flip it mid-session)."""
+    """Kernel dispatch for the hot cosine paths. The module flag is
+    read at PLAN-BUILD time, so an A/B run flips it mid-session via
+    ``sim.VECTOR_KERNEL = "fold"`` (the env var is read once at
+    import and only sets the initial value)."""
     if VECTOR_KERNEL == "numpy":
         return _cosine_np_udf()(a, b)
     return cosine(a, b)
@@ -318,19 +335,31 @@ def _sq_dists_np(E, centroids):
 def _assign_np_udf(centroids: list[list[float]], cell_ids: list[int]):
     """numpy twin of the assign expression: argmin over the distance
     fold, first-minimum (= lowest cell id among the listed order, which
-    is ascending) tiebreak — matching array_position(array_min)."""
+    is ascending) tiebreak — matching array_position(array_min). A
+    null or wrong-dimension vector assigns a NULL cell, exactly as the
+    fold does (zip_with against the centroid nulls every distance)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cents = [list(c) for c in centroids]
     ids = list(map(int, cell_ids))
+    dim = len(cents[0]) if cents else 0
 
     @pandas_udf("int")
     def _assign(e: pd.Series) -> pd.Series:
-        E = np.stack(e.to_list())
-        idx = np.argmin(_sq_dists_np(E, cents), axis=1)
-        return pd.Series(np.asarray(ids, dtype="int64")[idx]).astype("int32")
+        out = np.full(len(e), None, dtype=object)
+        mask = e.notna().to_numpy()
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            ev = e.to_numpy()[idx]
+            ok = np.array([len(x) == dim for x in ev])
+            if ok.any():
+                E = np.stack(ev[ok])
+                best = np.argmin(_sq_dists_np(E, cents), axis=1)
+                cells = np.asarray(ids, dtype="int64")[best]
+                out[idx[ok]] = [int(c) for c in cells]
+        return pd.Series(out, index=e.index, dtype=object)
 
     return _assign
 
@@ -340,26 +369,35 @@ def _probe_np_udf(
 ):
     """numpy twin of :func:`_probe_cells`: per row, cells sorted by
     (distance, cell id) — np.lexsort is exactly array_sort's
-    struct(d, cell) order — truncated to n_probes."""
+    struct(d, cell) order — truncated to n_probes. A null or
+    wrong-dimension vector probes NOTHING (null list -> explode drops
+    the row), the sane documented behavior for invalid vectors."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cents = [list(c) for c in centroids]
     ids_arr = list(map(int, cell_ids))
+    dim = len(cents[0]) if cents else 0
 
     @pandas_udf("array<int>")
     def _probe(e: pd.Series) -> pd.Series:
-        import numpy as np
-
-        E = np.stack(e.to_list())
-        dists = _sq_dists_np(E, cents)
-        ids = np.asarray(ids_arr, dtype="int64")
-        out = []
-        for r in range(len(E)):
-            order = np.lexsort((ids, dists[r]))
-            out.append([int(ids[i]) for i in order[:n_probes]])
-        return pd.Series(out)
+        out = np.full(len(e), None, dtype=object)
+        mask = e.notna().to_numpy()
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            ev = e.to_numpy()[idx]
+            ok = np.array([len(x) == dim for x in ev])
+            if ok.any():
+                E = np.stack(ev[ok])
+                dists = _sq_dists_np(E, cents)
+                ids = np.asarray(ids_arr, dtype="int64")
+                for p, r in zip(idx[ok], range(len(E))):
+                    order = np.lexsort((ids, dists[r]))
+                    # element-wise: bulk-assigning a list of lists makes
+                    # numpy build a 2-D array and garble the object slots
+                    out[p] = [int(ids[i]) for i in order[:n_probes]]
+        return pd.Series(out, index=e.index, dtype=object)
 
     return _probe
 

@@ -252,15 +252,28 @@ def rebucket_warehouse(
         # longer matches layout_stamp(new_n_buckets), so the next
         # epoch's rollup_domain_stats full-refreshes instead of
         # partial-replacing against a stale layout.
-        fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
-        wh.rollup.commit(
-            fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
-            overwrite_all=True,
-            summary={
-                "operation": "rollup_rebuild_after_rebucket",
-                "layout": layout_stamp(new_n_buckets),
-            },
-        )
+        # overwrite_all raises on a lost publish race; the rebuild is a
+        # pure function of the (already-rebucketed) pages snapshot, so
+        # re-derive and retry. If all retries lose, the stamp mismatch
+        # still routes the next epoch to a full refresh (crash-window
+        # rule above), so failing here is loud but never corrupting.
+        from etl_spark.lake.table import CommitConflictError
+
+        for attempt in range(3):
+            fresh = compute_partials(wh.pages.read(spark, with_bucket=True))
+            try:
+                wh.rollup.commit(
+                    fresh.withColumn(BUCKET_COL, F.col("src_bucket")),
+                    overwrite_all=True,
+                    summary={
+                        "operation": "rollup_rebuild_after_rebucket",
+                        "layout": layout_stamp(new_n_buckets),
+                    },
+                )
+                break
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
         rec["rows_out"] = new_n_buckets
     log.flush(spark)
 

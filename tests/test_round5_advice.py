@@ -222,3 +222,111 @@ def test_metrics_zero_duration_is_zero_not_none():
     log.metrics(1, n_events=500)  # no stage rows at all
     row = log.rows[-1]
     assert row[8] == 0.0 and row[8] is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review follow-ups: stats-mapping honesty and the rollup
+# overwrite_all retry loops.
+# ---------------------------------------------------------------------------
+
+
+def test_unmapped_write_stats_leave_bucket_unknown(spark, tmp_path, monkeypatch):
+    """If the input_file_name()->relpath mapping fails for a written
+    file (e.g. a warehouse root reached through a symlink), the bucket
+    must be left UNKNOWN in tombstone_stats — never recorded as
+    [0, None] ("known clean"), which would permanently exclude it from
+    tombstone-GC discovery."""
+    import os
+
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["url"], n_buckets=1)
+
+    # force every URI->relpath mapping to miss
+    orig = LakeTable._scan_write_stats
+
+    def broken_mapping(self, spark_, written, col, sch):
+        import urllib.parse as up
+
+        real = up.urlparse
+
+        def twisted(u):
+            r = real(u)
+            return r._replace(path="/nonexistent" + r.path)
+
+        monkeypatch.setattr(up, "urlparse", twisted)
+        try:
+            return orig(self, spark_, written, col, sch)
+        finally:
+            monkeypatch.setattr(up, "urlparse", real)
+
+    monkeypatch.setattr(LakeTable, "_scan_write_stats", broken_mapping)
+    df = spark.createDataFrame(
+        [("https://x.example/a", "2020-01-01 00:00:00", True)],
+        "url string, warc_ts string, _deleted boolean",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
+        "_bucket", F.lit(0)
+    )
+    t.commit(df, touched_buckets=[0], event_time_col="warc_ts")
+    stats = t.snapshot().tombstone_stats
+    assert stats.get("buckets", {}).get("0") is None, (
+        "bucket must be unknown, not fabricated-clean"
+    )
+    monkeypatch.setattr(LakeTable, "_scan_write_stats", orig)
+    # unknown state -> GC scans the bucket and finds the marker
+    out = t.expire_tombstones(spark, "2024-01-01 00:00:00", "warc_ts")
+    assert out.summary.get("operation") == "expire_tombstones"
+    assert t.read(spark, include_deleted=True).count() == 0
+
+
+def test_rollup_full_refresh_retries_lost_race(spark, tmp_path, monkeypatch):
+    """rollup_domain_stats' full-refresh overwrite_all commit re-derives
+    and retries on a lost publish race instead of dying (same contract
+    compact_files got)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.pipeline import Warehouse, ingest_epoch
+
+    wh = Warehouse.init(str(tmp_path / "wh"), n_buckets=2)
+    delta = spark.createDataFrame(
+        [(1, 0, "I", "https://x.example/a", "2024-01-01 00:00:00",
+          b"<p>a</p>", None)],
+        "seq long, epoch long, op string, url string, warc_ts string, "
+        "html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    # the epoch's rollup runs the FULL-refresh path (fresh table) and
+    # loses its first publish to a concurrent lineage-style append on
+    # the rollup table
+    from etl_spark.operators.rollup import ROLLUP_SCHEMA  # noqa: F401
+
+    def competing():
+        snap = wh.rollup.snapshot()
+        empty = spark.createDataFrame([], snap.schema)
+        wh.rollup.append(empty, summary={"operation": "noise"})
+
+    orig = LakeTable._publish
+    state = {"armed": True}
+
+    def pre_empted(self, snap):
+        if state["armed"] and self.root == wh.rollup.root and snap.summary.get(
+            "operation"
+        ) == "rollup":
+            state["armed"] = False
+            competing()
+        return orig(self, snap)
+
+    monkeypatch.setattr(LakeTable, "_publish", pre_empted)
+    ingest_epoch(spark, wh, delta, 0)  # must not raise
+    monkeypatch.setattr(LakeTable, "_publish", orig)
+    from etl_spark.operators.rollup import read_rollup
+
+    got = read_rollup(spark, wh.rollup).collect()
+    assert len(got) == 1 and got[0].n_pages == 1
